@@ -1,0 +1,18 @@
+from slrsfs_tpu.ops.splat import (
+    softsplat,
+    softsplat_sum,
+    max_splat,
+    inverse_max_gather,
+    maximum_warp_norm_splat,
+)
+from slrsfs_tpu.ops.euler import euler_integrate, euler_integrate_all
+
+__all__ = [
+    "softsplat",
+    "softsplat_sum",
+    "max_splat",
+    "inverse_max_gather",
+    "maximum_warp_norm_splat",
+    "euler_integrate",
+    "euler_integrate_all",
+]

@@ -1,0 +1,96 @@
+"""Euler integration of a constant-in-time Eulerian motion field.
+
+Semantics match reference ``models/projection/euler_integration_manipulator.py
+:7-56`` (euler_integration): starting from every pixel's own coordinate,
+repeatedly advect the destination by the motion value gathered at the
+*rounded* current destination; pixels that ever leave the frame become
+(stickily) invalid, are pinned back to their source coordinate for subsequent
+gathers, and report a displacement of ``max(H, W) + 1`` so downstream splats
+drop them.
+
+TPU-native design: one ``lax.scan`` of N steps emits the displacement map for
+*every* intermediate frame in O(N) total gathers — the reference re-integrates
+from scratch for each output frame, i.e. O(N^2) over a rollout
+(``models/animating_softmax_splating.py:847-848``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _grid(H: int, W: int, dtype) -> Array:
+    xs = jnp.arange(W, dtype=dtype)
+    ys = jnp.arange(H, dtype=dtype)
+    gx, gy = jnp.meshgrid(xs, ys)  # (H, W) each
+    return jnp.stack([gx, gy], axis=-1)  # (H, W, 2), [...,0]=x
+
+
+def euler_integrate_all(motion: Array, n_steps: int) -> Tuple[Array, Array]:
+    """Integrate ``motion`` (H, W, 2) for 0..n_steps steps.
+
+    Returns:
+      displacements: (n_steps + 1, H, W, 2) — entry t is the displacement
+        after t integration steps (entry 0 is all-zero);
+      visible: (n_steps + 1, H, W) float — 1.0 where the pixel never left the
+        frame (entry 0 is all-one).
+
+    Matches reference ``euler_integration(motion, t)`` elementwise for each t
+    (round-gather at the current destination, sticky invalid mask, OOB
+    displacement = max(H, W) + 1).
+    """
+    H, W, _ = motion.shape
+    dtype = motion.dtype
+    coord = _grid(H, W, dtype)
+    oob_disp = jnp.asarray(max(H, W) + 1, dtype)
+    motion_flat = motion.reshape(H * W, 2)
+
+    def step(carry, _):
+        dest, invalid = carry
+        # Gather motion at the rounded current destination. torch.round is
+        # round-half-to-even; jnp.round matches. Destinations of valid pixels
+        # are in-bounds by construction (invalid ones were pinned to coord);
+        # clip anyway for safety under jit.
+        ix = jnp.clip(jnp.round(dest[..., 0]).astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip(jnp.round(dest[..., 1]).astype(jnp.int32), 0, H - 1)
+        m = jnp.take(motion_flat, iy * W + ix, axis=0)  # (H, W, 2) gather
+        dest = dest + m
+        oob = (
+            (dest[..., 0] > W - 1)
+            | (dest[..., 0] < 0)
+            | (dest[..., 1] > H - 1)
+            | (dest[..., 1] < 0)
+        )
+        invalid = invalid | oob
+        dest = jnp.where(invalid[..., None], coord, dest)
+        disp = jnp.where(invalid[..., None], oob_disp, dest - coord)
+        return (dest, invalid), (disp, jnp.logical_not(invalid))
+
+    init = (coord, jnp.zeros((H, W), bool))
+    if n_steps > 0:
+        _, (disps, visible) = jax.lax.scan(step, init, None, length=n_steps)
+    else:
+        disps = jnp.zeros((0, H, W, 2), dtype)
+        visible = jnp.zeros((0, H, W), bool)
+    disp0 = jnp.zeros((1, H, W, 2), dtype)
+    vis0 = jnp.ones((1, H, W), bool)
+    return (
+        jnp.concatenate([disp0, disps], axis=0),
+        jnp.concatenate([vis0, visible], axis=0).astype(dtype),
+    )
+
+
+def euler_integrate(motion: Array, n_steps: int) -> Tuple[Array, Array]:
+    """Displacement after exactly ``n_steps`` integration steps.
+
+    motion: (H, W, 2). Returns (displacement (H, W, 2), visible (H, W)).
+    Equivalent to reference ``euler_integration(motion, n_steps)`` with
+    ``return_all_frames=False`` (single sample).
+    """
+    disps, vis = euler_integrate_all(motion, n_steps)
+    return disps[-1], vis[-1]

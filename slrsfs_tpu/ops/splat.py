@@ -1,0 +1,231 @@
+"""Forward-warping (splatting) ops, TPU-native.
+
+Semantics match the reference CUDA kernels embedded in
+``models/softsplat.py`` of simon3dv/SLR-SFS (cited per function below), but
+the implementation is a fresh JAX/XLA design:
+
+* layout is NHWC (channels on TPU lanes), flow is ``(..., H, W, 2)`` with
+  channel 0 = x-displacement (u) and channel 1 = y-displacement (v);
+* the forward scatter-add is deterministic (XLA scatter), unlike the
+  reference's ``atomicAdd`` float accumulation which is order-nondeterministic
+  (reference ``models/softsplat.py:187-199``);
+* the backward pass is a ``jax.custom_vjp`` implementing the pure-gather
+  gradient kernels (reference ``models/softsplat.py:204-326``) so autodiff
+  never differentiates through the scatter.
+
+Every source pixel ``(y, x)`` is moved to ``(x + u, y + v)`` and its value is
+bilinearly split over the 4 integer neighbours of the target position;
+out-of-bounds corners are dropped (reference ``models/softsplat.py:157-202``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_NEG_INIT = -1000.0  # reference max-splat init (models/softsplat.py:590)
+
+
+def _corners(flow: Array):
+    """Per-pixel target corner indices, bilinear weights and validity.
+
+    flow: (H, W, 2). Returns a list of 4 tuples ``(cx, cy, w, valid)``, each
+    entry shaped (H, W). Corner order: NW, NE, SW, SE.
+    """
+    H, W, _ = flow.shape
+    ox = jnp.arange(W, dtype=flow.dtype)[None, :] + flow[..., 0]
+    oy = jnp.arange(H, dtype=flow.dtype)[:, None] + flow[..., 1]
+    x0f = jnp.floor(ox)
+    y0f = jnp.floor(oy)
+    dx = ox - x0f
+    dy = oy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    out = []
+    for cx, cy, w in (
+        (x0, y0, (1.0 - dx) * (1.0 - dy)),
+        (x0 + 1, y0, dx * (1.0 - dy)),
+        (x0, y0 + 1, (1.0 - dx) * dy),
+        (x0 + 1, y0 + 1, dx * dy),
+    ):
+        valid = (cx >= 0) & (cx < W) & (cy >= 0) & (cy < H)
+        out.append((cx, cy, w, valid))
+    return out
+
+
+def _corner_weight_grads(flow: Array):
+    """d(weight)/d(ox), d(weight)/d(oy) per corner (NW, NE, SW, SE).
+
+    Math spec: reference ``models/softsplat.py:257-326``
+    (kernel_Softsplat_updateGradFlow).
+    """
+    H, W, _ = flow.shape
+    ox = jnp.arange(W, dtype=flow.dtype)[None, :] + flow[..., 0]
+    oy = jnp.arange(H, dtype=flow.dtype)[:, None] + flow[..., 1]
+    dx = ox - jnp.floor(ox)
+    dy = oy - jnp.floor(oy)
+    one = jnp.ones_like(dx)
+    dwdx = (-(1.0 - dy), (1.0 - dy), -dy, dy)
+    dwdy = (-(1.0 - dx), -dx, (1.0 - dx), dx)
+    del one
+    return dwdx, dwdy
+
+
+def _splat_sum_single(inp: Array, flow: Array) -> Array:
+    """Summation splat of one sample. inp (H, W, C), flow (H, W, 2)."""
+    H, W, C = inp.shape
+    idxs = []
+    upds = []
+    for cx, cy, w, valid in _corners(flow):
+        lin = jnp.clip(cy, 0, H - 1) * W + jnp.clip(cx, 0, W - 1)
+        idxs.append(lin.reshape(-1))
+        upds.append((inp * jnp.where(valid, w, 0.0)[..., None]).reshape(-1, C))
+    idx = jnp.concatenate(idxs)
+    upd = jnp.concatenate(upds)
+    out = jnp.zeros((H * W, C), inp.dtype).at[idx].add(upd)
+    return out.reshape(H, W, C)
+
+
+def _splat_grad_single(inp: Array, flow: Array, g: Array):
+    """Backward of the summation splat for one sample (pure gathers).
+
+    Returns (grad_inp, grad_flow). Math spec: reference
+    ``models/softsplat.py:204-326``.
+    """
+    H, W, C = inp.shape
+    gflat = g.reshape(H * W, C)
+    dwdx, dwdy = _corner_weight_grads(flow)
+    grad_inp = jnp.zeros_like(inp)
+    gfx = jnp.zeros((H, W), flow.dtype)
+    gfy = jnp.zeros((H, W), flow.dtype)
+    for (cx, cy, w, valid), dwx, dwy in zip(_corners(flow), dwdx, dwdy):
+        lin = jnp.clip(cy, 0, H - 1) * W + jnp.clip(cx, 0, W - 1)
+        g_at = gflat[lin.reshape(-1)].reshape(H, W, C)
+        g_at = jnp.where(valid[..., None], g_at, 0.0)
+        grad_inp = grad_inp + g_at * w[..., None]
+        inner = jnp.sum(inp * g_at, axis=-1)  # channel sum
+        gfx = gfx + inner * dwx
+        gfy = gfy + inner * dwy
+    return grad_inp, jnp.stack([gfx, gfy], axis=-1)
+
+
+@jax.custom_vjp
+def softsplat_sum(inp: Array, flow: Array) -> Array:
+    """Deterministic summation forward-splat. NHWC.
+
+    inp: (B, H, W, C); flow: (B, H, W, 2). Equivalent of the reference
+    ``ModuleSoftsplat('summation')`` (models/softsplat.py:665-702).
+    """
+    return jax.vmap(_splat_sum_single)(inp, flow)
+
+
+def _softsplat_sum_fwd(inp, flow):
+    return softsplat_sum(inp, flow), (inp, flow)
+
+
+def _softsplat_sum_bwd(res, g):
+    inp, flow = res
+    return jax.vmap(_splat_grad_single)(inp, flow, g)
+
+
+softsplat_sum.defvjp(_softsplat_sum_fwd, _softsplat_sum_bwd)
+
+
+def softsplat(
+    inp: Array,
+    flow: Array,
+    metric: Optional[Array] = None,
+    mode: str = "summation",
+) -> Array:
+    """The four splat modes of reference ``FunctionSoftsplat``
+    (models/softsplat.py:665-690).
+
+    inp (B, H, W, C), flow (B, H, W, 2), metric (B, H, W, 1) or None.
+    For non-summation modes the splatted last channel normalizes the output,
+    with exact zeros replaced by 1 (reference ``softsplat.py:681-688``).
+    """
+    assert mode in ("summation", "average", "linear", "softmax"), mode
+    if mode == "average":
+        ones = jnp.ones(inp.shape[:-1] + (1,), inp.dtype)
+        inp = jnp.concatenate([inp, ones], axis=-1)
+    elif mode == "linear":
+        inp = jnp.concatenate([inp * metric, metric], axis=-1)
+    elif mode == "softmax":
+        m = jnp.exp(metric)
+        inp = jnp.concatenate([inp * m, m], axis=-1)
+
+    out = softsplat_sum(inp, flow)
+    if mode != "summation":
+        norm = out[..., -1:]
+        norm = jnp.where(norm == 0.0, 1.0, norm)
+        out = out[..., :-1] / norm
+    return out
+
+
+def _max_splat_single(inp: Array, flow: Array) -> Array:
+    """Max-splat of one sample: per-target max of ``inp * bilinear_weight``.
+
+    Cells receiving no contribution stay at -1000. Deterministic equivalent of
+    reference ``kernel_Maximumsplat_updateOutput`` (models/softsplat.py:12-82,
+    init at :590).
+    """
+    H, W, C = inp.shape
+    neg = jnp.asarray(-jnp.inf, inp.dtype)
+    idxs = []
+    vals = []
+    for cx, cy, w, valid in _corners(flow):
+        lin = jnp.clip(cy, 0, H - 1) * W + jnp.clip(cx, 0, W - 1)
+        idxs.append(lin.reshape(-1))
+        v = inp * w[..., None]
+        v = jnp.where(valid[..., None], v, neg)
+        vals.append(v.reshape(-1, C))
+    idx = jnp.concatenate(idxs)
+    val = jnp.concatenate(vals)
+    out = jnp.full((H * W, C), _NEG_INIT, inp.dtype).at[idx].max(val)
+    return out.reshape(H, W, C)
+
+
+def max_splat(inp: Array, flow: Array) -> Array:
+    """Batched max-splat. inp (B, H, W, C), flow (B, H, W, 2)."""
+    return jax.vmap(_max_splat_single)(inp, flow)
+
+
+def _inverse_max_gather_single(maxmap: Array, flow: Array, init: Array) -> Array:
+    """For each *source* pixel: max of ``init`` and the 4 target-cell values.
+
+    Equivalent of reference ``kernel_Inversesplat_updateOutput``
+    (models/softsplat.py:84-155) with output initialized to ``init``.
+    """
+    H, W, C = maxmap.shape
+    flat = maxmap.reshape(H * W, C)
+    out = init
+    for cx, cy, _w, valid in _corners(flow):
+        lin = jnp.clip(cy, 0, H - 1) * W + jnp.clip(cx, 0, W - 1)
+        v = flat[lin.reshape(-1)].reshape(H, W, C)
+        v = jnp.where(valid[..., None], v, -jnp.inf)
+        out = jnp.maximum(out, v)
+    return out
+
+
+def inverse_max_gather(maxmap: Array, flow: Array, init: Array) -> Array:
+    return jax.vmap(_inverse_max_gather_single)(maxmap, flow, init)
+
+
+def maximum_warp_norm_splat(inp: Array, flow: Array) -> Array:
+    """Per-source-pixel numerically-stable max of Z over each splat target.
+
+    Max-splat ``inp`` (init -1000), then inverse-gather the per-target maxima
+    back onto each source pixel, starting from ``inp`` itself. Equivalent of
+    reference ``_FunctionMaximumWarpNormsplat`` (models/softsplat.py:576-624),
+    used for "softmax splatting v2" Z normalization. Not differentiated in the
+    reference (applied to a detached Z); gradients are stopped here too.
+    """
+    inp = jax.lax.stop_gradient(inp)
+    flow = jax.lax.stop_gradient(flow)
+    mx = max_splat(inp, flow)
+    return inverse_max_gather(mx, flow, inp)

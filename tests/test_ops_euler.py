@@ -1,0 +1,67 @@
+import numpy as np
+import jax
+import pytest
+
+from slrsfs_tpu.ops import euler_integrate, euler_integrate_all
+from oracles import euler_integration_np
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1)
+
+
+def test_euler_zero_motion():
+    H, W = 8, 10
+    motion = np.zeros((H, W, 2), np.float32)
+    disp, vis = euler_integrate(motion, 5)
+    np.testing.assert_allclose(np.asarray(disp), 0.0)
+    np.testing.assert_allclose(np.asarray(vis), 1.0)
+
+
+def test_euler_matches_oracle(rng):
+    H, W = 16, 14
+    motion = (rng.standard_normal((H, W, 2)) * 1.5).astype(np.float32)
+    for n in (1, 3, 7):
+        disp, vis = euler_integrate(motion, n)
+        want_d, want_v = euler_integration_np(motion.astype(np.float64), n)
+        np.testing.assert_allclose(np.asarray(disp), want_d, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(vis), want_v)
+
+
+def test_euler_all_frames_consistent(rng):
+    """The O(N) scan stack must equal per-t re-integration elementwise."""
+    H, W, N = 12, 12, 9
+    motion = (rng.standard_normal((H, W, 2)) * 2.0).astype(np.float32)
+    disps, vis = euler_integrate_all(motion, N)
+    assert disps.shape == (N + 1, H, W, 2)
+    assert vis.shape == (N + 1, H, W)
+    for t in (0, 1, 4, N):
+        want_d, want_v = euler_integration_np(motion.astype(np.float64), t)
+        np.testing.assert_allclose(np.asarray(disps[t]), want_d, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(vis[t]), want_v)
+
+
+def test_euler_oob_semantics():
+    """A pixel pushed out of bounds gets displacement max(H,W)+1, sticky."""
+    H, W = 6, 6
+    motion = np.zeros((H, W, 2), np.float32)
+    motion[..., 0] = 2.0  # constant push right: col 4,5 exit after 1 step
+    disps, vis = euler_integrate_all(motion, 3)
+    d1 = np.asarray(disps[1])
+    v1 = np.asarray(vis[1])
+    assert np.all(d1[:, 4:, 0] == W + 1)
+    assert np.all(v1[:, 4:] == 0.0)
+    assert np.all(d1[:, :4, 0] == 2.0)
+    # After 3 steps only col 0..? coord x + 2*3 = x+6 > 5 for all x -> all out
+    d3 = np.asarray(disps[3])
+    assert np.all(d3[..., 0] == W + 1)
+
+
+def test_euler_jit():
+    H, W = 8, 8
+    motion = np.ones((H, W, 2), np.float32) * 0.3
+    f = jax.jit(lambda m: euler_integrate_all(m, 4))
+    disps, _ = f(motion)
+    want_d, _ = euler_integration_np(np.asarray(motion, np.float64), 4)
+    np.testing.assert_allclose(np.asarray(disps[4]), want_d, rtol=1e-5, atol=1e-5)
