@@ -1,0 +1,116 @@
+"""Single-layer animating model (encoder → symmetric double-ended softmax
+splat → partial-conv decoder).
+
+Fresh TPU-native equivalent of reference
+``models/animating_softmax_splating.py`` (AnimatingSoftmaxSplating):
+
+* ``encode``     — ResNetEncoder_with_Z on the input image (reference :483-487)
+* ``z_norm``     — the Z normalization variants (reference :593-605):
+                   v2 = Z - maxwarpnorm(Z, flow); v1 = Z; v3 = 20·sigmoid(Z);
+                   default = Z - Z.max(); then clamp to ±20 unless no_clamp_Z
+* ``splat_pair`` — manual softmax splat: pack [fs·e^Z·α, e^Z·α], summation
+                   splat from both temporal ends, add, divide by the clamped
+                   last channel (reference :606-692)
+* ``decode``     — pconv ResNet decoder + Tanh (reference :739-744)
+* ``forward_train`` — the (start, middle, end) training pass (reference
+                   forward, :445-775)
+
+The inference rollout lives in ``engine/rollout.py`` and reuses these pieces;
+like reference ``forward_flow`` (:777-981) it feeds the *start* features to
+both splat ends.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from slrsfs_tpu.config import Options
+from slrsfs_tpu.nn.resnets import ResNetDecoderPconv2, ResNetEncoderWithZ
+from slrsfs_tpu.ops import maximum_warp_norm_splat, softsplat_sum
+
+Array = jax.Array
+
+NORM_EPS = 1e-8  # reference animating_softmax_splating.py:691
+
+
+class BaselineModel(nn.Module):
+    opt: Options
+
+    def setup(self):
+        self.encoder = ResNetEncoderWithZ(self.opt, in_channels=3)
+        self.projector = ResNetDecoderPconv2(self.opt)
+
+    # ---- pieces --------------------------------------------------------
+
+    def encode(self, img: Array, train: bool = False,
+               deterministic: bool = True) -> Tuple[Array, Array]:
+        """img (B, W, W, 3) → (features (B, W, W, 64), Z (B, W, W, 1))."""
+        fs, z = self.encoder(img, train, deterministic)
+        if "relu" in self.opt.Z_model:
+            z = jax.nn.relu(z)
+        return fs, z
+
+    def decode(self, gen_fs: Array, train: bool = False,
+               deterministic: bool = True) -> Array:
+        return jnp.tanh(self.projector(gen_fs, train, deterministic))
+
+    def __call__(self, img: Array, train: bool = False,
+                 deterministic: bool = True):
+        """Parameter-shaping pass (init): encode + decode."""
+        fs, z = self.encode(img, train, deterministic)
+        return self.decode(fs, train, deterministic), z
+
+
+def z_normalize(opt: Options, z: Array, flow: Optional[Array]) -> Array:
+    """Reference Z-norm variants (animating_softmax_splating.py:593-605).
+
+    z: (B, W, W, 1); flow: (B, W, W, 2), needed only for the v2 variant.
+    """
+    if opt.use_softmax_splatter_v2:
+        z_max = maximum_warp_norm_splat(z, flow)
+        zn = z - z_max
+    elif opt.use_softmax_splatter_v1:
+        zn = z
+    elif opt.use_softmax_splatter_v3:
+        zn = jax.nn.sigmoid(z) * 20.0
+    else:
+        zn = z - jnp.max(z)
+    if not opt.no_clamp_Z:
+        zn = jnp.clip(zn, -20.0, 20.0)
+    return zn
+
+
+def pack_splat_input(fs: Array, z_norm: Array) -> Array:
+    """[fs·e^Z, e^Z]: the packed tensor whose summation splat implements
+    softmax splatting after normalization (reference :606,628-634).
+
+    The per-frame temporal weight α is a scalar; since the splat is linear it
+    is applied *after* splatting (exact algebraic identity with the reference,
+    which packs fs·e^Z·α)."""
+    ez = jnp.exp(z_norm)
+    return jnp.concatenate([fs * ez, ez], axis=-1)
+
+
+def splat_blend(u_f: Array, flow_f: Array, alpha,
+                u_p: Array, flow_p: Array) -> Array:
+    """Double-ended splat + joint normalization (reference :606-692).
+
+    u_f/u_p: packed [fs·e^Z, e^Z] (B, W, W, C+1); alpha scalar or (B,1,1,1).
+    Returns normalized features (B, W, W, C).
+    """
+    g_f = softsplat_sum(u_f, flow_f) * alpha
+    g_p = softsplat_sum(u_p, flow_p) * (1.0 - alpha)
+    g = g_f + g_p
+    norm = jnp.maximum(g[..., -1:], NORM_EPS)
+    return g[..., :-1] / norm
+
+
+def z_for_splat(opt: Options, fs: Array, z: Array) -> Array:
+    """train_Z gate: without it Z is all-ones (reference :588-590)."""
+    if opt.train_Z:
+        return z
+    return jnp.ones_like(fs[..., :1])

@@ -1,0 +1,79 @@
+"""Architecture tables for the BigGAN-style ResNet encoder/decoders.
+
+These are the hyperparameter tables of reference
+``models/networks/configs.py`` (get_resnet_arch), restricted to the setups the
+shipped scripts exercise. The setup key is the second ``_``-separated token of
+the model-type string (reference ``configs.py:2``). Values are expressed in
+terms of ``ngf`` / ``out_channel`` exactly as the reference computes them.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from slrsfs_tpu.config import Options
+
+
+def get_resnet_arch(model_type: str, opt: Options, in_channels: int = 3) -> Dict:
+    setup = model_type.split("_")[1]
+    ngf = opt.ngf
+
+    if setup == "256W8UpDown64":
+        # reference configs.py:94-150
+        return dict(
+            layers_enc=[in_channels, ngf // 2, ngf // 2, ngf // 2, ngf, ngf, ngf, ngf, 64],
+            downsample=[False] * 8,
+            layers_dec=[64, ngf, ngf * 2, ngf * 4, ngf * 4, ngf * 2, ngf * 2, ngf * 2, 3],
+            upsample=[False, "Down", "Down", False, "Up", "Up", False, False],
+            activation=["Relu"] * 8,
+        )
+    if setup == "256W5UpDown64":
+        # reference configs.py:52-93
+        return dict(
+            layers_enc=[in_channels, ngf // 2, ngf // 2, ngf, ngf, 64],
+            downsample=[False] * 5,
+            layers_dec=[64, ngf * 2, ngf * 4, ngf * 4, ngf * 2, 3],
+            upsample=["Down", "Down", False, "Up", "Up"],
+            activation=["Relu"] * 5,
+        )
+    if setup == "256W8UpDown64BG":
+        # reference configs.py:233-278 — decoder-only table for the background
+        # "mean video" network: image (3ch) in, image out.
+        return dict(
+            layers_enc=None,
+            downsample=[False] * 8,
+            layers_dec=[3, ngf, ngf * 2, ngf * 4, ngf * 4, ngf * 2, ngf * 2, ngf * 2, 3],
+            upsample=[False, "Down", "Down", False, "Up", "Up", False, False],
+            activation=["Relu"] * 8,
+        )
+    if setup == "256W8UpDown64Alpha":
+        # reference configs.py:313-358 — decoder-only table (image in, 2ch out).
+        return dict(
+            layers_enc=None,
+            downsample=[False] * 8,
+            layers_dec=[3, ngf, ngf * 2, ngf * 4, ngf * 4, ngf * 2, ngf * 2, ngf * 2, 2],
+            upsample=[False, "Down", "Down", False, "Up", "Up", False, False],
+            activation=["Relu"] * 8,
+        )
+    if setup == "256W8UpDown64Layers":
+        # reference configs.py:407-463 — encoder emits opt.out_channel (65),
+        # decoder in/out widened by the additional decoder channels.
+        return dict(
+            layers_enc=[in_channels, ngf // 2, ngf // 2, ngf // 2, ngf, ngf, ngf, ngf,
+                        opt.out_channel],
+            downsample=[False] * 8,
+            layers_dec=[64 + opt.addtional_decoder_input, ngf, ngf * 2, ngf * 4, ngf * 4,
+                        ngf * 2, ngf * 2, ngf * 2, 3 + opt.addtional_decoder_output],
+            upsample=[False, "Down", "Down", False, "Up", "Up", False, False],
+            activation=["Relu"] * 8,
+        )
+    if setup == "256W4UpDown64Motion":
+        # reference configs.py:502-538 — small motion encoder/decoder.
+        return dict(
+            layers_enc=[in_channels, ngf // 2, ngf // 2, ngf, 64],
+            downsample=[False] * 4,
+            layers_dec=[64, ngf * 2, ngf * 4, ngf * 2, 2],
+            upsample=["Down", False, "Up", False],
+            activation=["LRelu"] * 4,
+        )
+    raise ValueError(f"unknown resnet arch setup: {setup} (from {model_type})")

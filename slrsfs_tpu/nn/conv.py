@@ -1,0 +1,157 @@
+"""NHWC convolutions: plain, spectrally-normalized, and partial (mask-aware).
+
+Partial convolution follows the NVIDIA reference semantics used by the
+decoder (reference ``models/layers/partialconv2d.py:41-81``): the mask is
+convolved with an all-ones kernel; outputs are rescaled by
+``winsize / sum(mask)`` and re-masked; the propagated mask is
+``clamp(sum(mask), 0, 1)``.
+
+TPU-native refinement: the reference computes the mask conv with a full
+(outC, inC, k, k) ones kernel, producing ``outC`` identical channels. Here the
+mask is kept single-channel — one (k, k, Cm, 1) ones conv gives exactly the
+same per-pixel count (the reference's value is channel-constant), saving
+outC× of the mask-conv FLOPs and HBM traffic. The first layer's mask may be
+genuinely per-channel (``(x != 0)``); its in-channel sum is what the ones
+kernel computes, so parity is exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from slrsfs_tpu.nn.norm import SpectralWeight
+
+Array = jax.Array
+
+
+def conv2d(x: Array, kernel: Array, bias: Optional[Array], stride: int, padding: int,
+           dilation: int = 1) -> Array:
+    """torch.nn.Conv2d-compatible NHWC conv (cross-correlation).
+
+    kernel: (kh, kw, inC, outC) (HWIO).
+    """
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class Conv(nn.Module):
+    """Plain or spectrally-normalized conv (reference blocks.py:5-11)."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+    spectral: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, x.shape[-1], self.features),
+        )
+        if self.spectral:
+            k = SpectralWeight(name="sn")(k, 3, train)
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return conv2d(x, k, b, self.stride, self.padding, self.dilation)
+
+
+class PartialConv(nn.Module):
+    """Mask-aware conv; returns (output, updated_mask(B,H,W,1)).
+
+    Matches reference ``PartialConv2d`` with ``multi_channel=True,
+    return_mask=True, bias=True`` (models/layers/partialconv2d.py) — the only
+    configuration the reference instantiates (models/layers/blocks.py:14-23).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    spectral: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Array, train: bool = False) -> Tuple[Array, Array]:
+        in_c = x.shape[-1]
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, self.kernel_size, in_c, self.features),
+        )
+        if self.spectral:
+            k = SpectralWeight(name="sn")(k, 3, train)
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        # winsize/(sum over in-channels and window of mask); channel-uniform.
+        mask = jax.lax.stop_gradient(mask)
+        cm = mask.shape[-1]
+        ones = jnp.ones((self.kernel_size, self.kernel_size, cm, 1), x.dtype)
+        msum = conv2d(mask.astype(x.dtype), ones, None, self.stride, self.padding,
+                      self.dilation)
+        if cm == 1:
+            msum = msum * in_c
+        winsize = in_c * self.kernel_size * self.kernel_size
+        ratio = winsize / (msum + 1e-8)
+        update_mask = jnp.clip(msum, 0.0, 1.0)
+        ratio = ratio * update_mask
+
+        raw = conv2d(x * mask.astype(x.dtype), k, b, self.stride,
+                     self.padding, self.dilation)
+        out = (raw - b) * ratio + b
+        out = out * update_mask
+        return out, update_mask
+
+
+def avg_pool_3x3s2(x: Array) -> Array:
+    """torch AvgPool2d(kernel=3, stride=2, padding=1), count_include_pad=True."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    return s / 9.0
+
+
+def max_pool_3x3s2(x: Array) -> Array:
+    """torch MaxPool2d(kernel=3, stride=2, padding=1)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def upsample_nearest_2x(x: Array) -> Array:
+    """torch Upsample(scale_factor=2, mode='nearest')."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def upsample_bilinear_2x(x: Array) -> Array:
+    """torch Upsample(scale_factor=2, mode='bilinear', align_corners=False)."""
+    B, H, W, C = x.shape
+    return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
+
+
+def resize_bilinear(x: Array, h: int, w: int) -> Array:
+    """torch F.interpolate(mode='bilinear', align_corners=False)."""
+    B = x.shape[0]
+    C = x.shape[-1]
+    return jax.image.resize(x, (B, h, w, C), method="bilinear")

