@@ -1,18 +1,25 @@
 from slrsfs_tpu.ops.splat import (
     softsplat,
     softsplat_sum,
+    softsplat_sum_at,
     max_splat,
     inverse_max_gather,
     maximum_warp_norm_splat,
 )
-from slrsfs_tpu.ops.euler import euler_integrate, euler_integrate_all
+from slrsfs_tpu.ops.euler import (
+    euler_integrate,
+    euler_integrate_all,
+    euler_integrate_compact,
+)
 
 __all__ = [
     "softsplat",
     "softsplat_sum",
+    "softsplat_sum_at",
     "max_splat",
     "inverse_max_gather",
     "maximum_warp_norm_splat",
     "euler_integrate",
     "euler_integrate_all",
+    "euler_integrate_compact",
 ]

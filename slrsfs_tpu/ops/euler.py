@@ -94,3 +94,49 @@ def euler_integrate(motion: Array, n_steps: int) -> Tuple[Array, Array]:
     """
     disps, vis = euler_integrate_all(motion, n_steps)
     return disps[-1], vis[-1]
+
+
+def euler_integrate_compact(motion: Array, positions: Array, n_steps: int
+                            ) -> Tuple[Array, Array]:
+    """Integrate trajectories of a *subset* of pixels (TPU sparse fast path).
+
+    Pixels whose motion is exactly zero never move (their gather always reads
+    their own zero motion), so a rollout only needs trajectories of the moving
+    set. Semantics per tracked pixel are identical to ``euler_integrate_all``.
+
+    motion: (H, W, 2) full grid (lookups may fall anywhere);
+    positions: (P, 2) int32 (x, y) source coordinates (may include padding —
+      padded entries integrate harmlessly);
+    Returns (displacements (n_steps+1, P, 2), visible (n_steps+1, P)).
+    """
+    H, W, _ = motion.shape
+    dtype = motion.dtype
+    coord = positions.astype(dtype)  # (P, 2), [:,0]=x
+    oob_disp = jnp.asarray(max(H, W) + 1, dtype)
+    motion_flat = motion.reshape(H * W, 2)
+
+    def step(carry, _):
+        dest, invalid = carry
+        ix = jnp.clip(jnp.round(dest[:, 0]).astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip(jnp.round(dest[:, 1]).astype(jnp.int32), 0, H - 1)
+        m = jnp.take(motion_flat, iy * W + ix, axis=0)
+        dest = dest + m
+        oob = (
+            (dest[:, 0] > W - 1)
+            | (dest[:, 0] < 0)
+            | (dest[:, 1] > H - 1)
+            | (dest[:, 1] < 0)
+        )
+        invalid = invalid | oob
+        dest = jnp.where(invalid[:, None], coord, dest)
+        disp = jnp.where(invalid[:, None], oob_disp, dest - coord)
+        return (dest, invalid), (disp, jnp.logical_not(invalid))
+
+    init = (coord, jnp.zeros((positions.shape[0],), bool))
+    _, (disps, visible) = jax.lax.scan(step, init, None, length=n_steps)
+    disp0 = jnp.zeros((1,) + coord.shape, dtype)
+    vis0 = jnp.ones((1, positions.shape[0]), bool)
+    return (
+        jnp.concatenate([disp0, disps], axis=0),
+        jnp.concatenate([vis0, visible], axis=0).astype(dtype),
+    )
