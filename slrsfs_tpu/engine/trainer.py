@@ -1,0 +1,217 @@
+"""Two-optimizer GAN trainer (optax), data-parallel via pjit over a 1-D mesh.
+
+Reference semantics (``models/base_model.py:9-163``): Adam(lr_g, betas=(0,
+0.9)) for the generator, Adam(lr_d) for the discriminator; one generator step
+(synthesis loss + GAN-G loss) followed by one discriminator step on the same
+fake images (detached); linear LR decay after ``niter`` epochs
+(base_model.py:80-93).
+
+TPU-native distribution: the batch is sharded over the mesh's 'data' axis and
+parameters are replicated. Because BN statistics are plain ``jnp.mean``
+reductions on globally-sharded arrays, XLA inserts the cross-chip all-reduce
+automatically — this IS the reference's SyncBN
+(models/networks/sync_batchnorm/), with zero custom collectives. Spectral
+power iteration runs once per D step (the reference's in-place torch buffers
+update on every D forward; we skip the extra G-step update — training-dynamics
+-only difference, documented).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from slrsfs_tpu.config import Options
+from slrsfs_tpu.losses.gan import discriminator_losses, generator_gan_losses
+from slrsfs_tpu.losses.synthesis import SynthesisLoss
+from slrsfs_tpu.nn.discriminators import MultiscaleDiscriminator
+from slrsfs_tpu.nn.vgg import VGG19Features
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    g_params: Any
+    g_stats: Any
+    g_spectral: Any
+    d_params: Any
+    d_spectral: Any
+    opt_g: Any
+    opt_d: Any
+
+
+def make_lr_schedule(base_lr: float, niter: int, niter_decay: int,
+                     steps_per_epoch: int):
+    """Linear decay from base_lr to 0 over the decay epochs
+    (reference base_model.py:80-93 / train options niter/niter_decay)."""
+
+    def schedule(step):
+        epoch = step / steps_per_epoch
+        frac = jnp.clip((epoch - niter) / max(niter_decay, 1), 0.0, 1.0)
+        return base_lr * (1.0 - frac)
+
+    return schedule
+
+
+class Trainer:
+    def __init__(self, opt: Options, model, steps_per_epoch: int = 500):
+        self.opt = opt
+        self.model = model
+        self.d_model = MultiscaleDiscriminator(opt)
+        self.vgg = VGG19Features()
+        self.vgg_vars = None  # set via load_vgg / init_vgg
+        sched_g = make_lr_schedule(opt.lr_g, opt.niter, opt.niter_decay,
+                                   steps_per_epoch)
+        sched_d = make_lr_schedule(opt.lr_d, opt.niter, opt.niter_decay,
+                                   steps_per_epoch)
+        self.tx_g = optax.adam(sched_g, b1=opt.beta1, b2=opt.beta2)
+        self.tx_d = optax.adam(sched_d, b1=opt.beta1, b2=opt.beta2)
+        self.use_discriminator = opt.discriminator_losses != "0"
+
+    # ---- initialization --------------------------------------------------
+
+    def init_vgg(self, rng):
+        img = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        self.vgg_vars = self.vgg.init(rng, img)
+
+    def load_vgg(self, vgg_vars):
+        self.vgg_vars = vgg_vars
+
+    def init_state(self, rng, example_batch) -> TrainState:
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        g_vars = self.model.init(
+            {"params": r1, "noise": r2},
+            example_batch, True, False, method=self.model.forward_train,
+        )
+        d_vars = self.d_model.init(
+            {"params": r3}, example_batch["images"][1], True
+        )
+        if self.vgg_vars is None:
+            self.init_vgg(r4)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            g_params=g_vars["params"],
+            g_stats=g_vars.get("batch_stats", {}),
+            g_spectral=g_vars.get("spectral", {}),
+            d_params=d_vars["params"],
+            d_spectral=d_vars.get("spectral", {}),
+            opt_g=self.tx_g.init(g_vars["params"]),
+            opt_d=self.tx_d.init(d_vars["params"]),
+        )
+
+    # ---- the step ---------------------------------------------------------
+
+    def make_train_step(self):
+        opt = self.opt
+        synth = SynthesisLoss(opt.losses, self.vgg, self.vgg_vars)
+        model, d_model = self.model, self.d_model
+        tx_g, tx_d = self.tx_g, self.tx_d
+        use_d = self.use_discriminator
+
+        def train_step(state: TrainState, batch: Dict, rng
+                       ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+            middle = batch["images"][1]
+
+            def g_loss_fn(g_params):
+                g_vars = {
+                    "params": g_params,
+                    "batch_stats": state.g_stats,
+                    "spectral": state.g_spectral,
+                }
+                (gen_img, pred), ups = model.apply(
+                    g_vars, batch, True, False,
+                    method=model.forward_train,
+                    mutable=["batch_stats", "spectral"],
+                    rngs={"noise": rng},
+                )
+                t_losses = synth(gen_img, middle)
+                total = t_losses["Total Loss"]
+                logs = dict(t_losses)
+                if use_d:
+                    d_vars = {"params": state.d_params,
+                              "spectral": state.d_spectral}
+                    g_gan = generator_gan_losses(
+                        d_model, d_vars, gen_img, middle,
+                        opt.gan_mode, opt.lambda_feat, train=False,
+                    )
+                    total = total + g_gan["Total Loss"]
+                    logs.update({k: v for k, v in g_gan.items()
+                                 if k != "Total Loss"})
+                logs["Total Loss"] = total
+                return total, (ups, logs, gen_img)
+
+            (_, (g_ups, logs, gen_img)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.g_params)
+            g_updates, new_opt_g = tx_g.update(g_grads, state.opt_g,
+                                               state.g_params)
+            new_g_params = optax.apply_updates(state.g_params, g_updates)
+
+            new_d_params, new_d_spectral, new_opt_d = (
+                state.d_params, state.d_spectral, state.opt_d
+            )
+            if use_d:
+                def d_loss_fn(d_params):
+                    d_vars = {"params": d_params,
+                              "spectral": state.d_spectral}
+                    both = jnp.concatenate(
+                        [jax.lax.stop_gradient(gen_img), middle], axis=0
+                    )
+                    out, d_ups = d_model.apply(
+                        d_vars, both, True, mutable=["spectral"]
+                    )
+                    b = gen_img.shape[0]
+                    pred_fake = [[t[:b] for t in s] for s in out]
+                    pred_real = [[t[b:] for t in s] for s in out]
+                    from slrsfs_tpu.losses.gan import gan_loss
+
+                    d_fake = gan_loss(pred_fake, False, True, opt.gan_mode)
+                    d_real = gan_loss(pred_real, True, True, opt.gan_mode)
+                    return d_fake + d_real, (d_ups, {"D_Fake": d_fake,
+                                                     "D_real": d_real})
+
+                (_, (d_ups, d_logs)), d_grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True
+                )(state.d_params)
+                d_updates, new_opt_d = tx_d.update(d_grads, state.opt_d,
+                                                   state.d_params)
+                new_d_params = optax.apply_updates(state.d_params, d_updates)
+                new_d_spectral = d_ups.get("spectral", state.d_spectral)
+                logs.update(d_logs)
+
+            new_state = state.replace(
+                step=state.step + 1,
+                g_params=new_g_params,
+                g_stats=g_ups.get("batch_stats", state.g_stats),
+                g_spectral=g_ups.get("spectral", state.g_spectral),
+                d_params=new_d_params,
+                d_spectral=new_d_spectral,
+                opt_g=new_opt_g,
+                opt_d=new_opt_d,
+            )
+            return new_state, logs
+
+        return train_step
+
+    def make_eval_step(self):
+        """Validation forward (reference base_model.py:106-116)."""
+        synth = SynthesisLoss(self.opt.losses, self.vgg, self.vgg_vars)
+        model = self.model
+
+        def eval_step(state: TrainState, batch, rng):
+            g_vars = {
+                "params": state.g_params,
+                "batch_stats": state.g_stats,
+                "spectral": state.g_spectral,
+            }
+            gen_img, pred = model.apply(
+                g_vars, batch, False, False,
+                method=model.forward_train, rngs={"noise": rng},
+            )
+            return synth(gen_img, batch["images"][1]), pred
+
+        return eval_step

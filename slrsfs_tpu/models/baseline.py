@@ -114,3 +114,75 @@ def z_for_splat(opt: Options, fs: Array, z: Array) -> Array:
     if opt.train_Z:
         return z
     return jnp.ones_like(fs[..., :1])
+
+
+def _select_per_sample(stack: Array, t: Array) -> Array:
+    """stack (B, T+1, ...), t (B,) -> (B, ...)."""
+    return stack[jnp.arange(stack.shape[0]), t]
+
+
+class BaselineTrainable(BaselineModel):
+    """Adds the (start, middle, end) training pass (reference
+    ``AnimatingSoftmaxSplating.forward``, animating_softmax_splating.py:445-775).
+
+    Per-sample integration step counts are data-dependent; the TPU-native
+    formulation integrates ``train_max_steps`` once per direction with
+    ``lax.scan`` and indexes each sample's step count from the stack
+    (identical math — displacement after t steps does not depend on later
+    steps)."""
+
+    train_max_steps: int = 60
+
+    def forward_train(self, batch, train: bool = True,
+                      deterministic: bool = False):
+        from slrsfs_tpu.ops import euler_integrate_all
+
+        opt = self.opt
+        start_img, middle_img, end_img = batch["images"]
+        idx = batch["index"]  # (B, 3) int32
+        flow = batch["motions"]  # (B, H, W, 2)
+        B = flow.shape[0]
+
+        fs_s, z_f = self.encode(start_img, train, deterministic)
+        fs_e, z_p = self.encode(end_img, train, deterministic)
+
+        t_f = (idx[:, 1] - idx[:, 0]).astype(jnp.int32)
+        t_p = (idx[:, 2] + 1 - idx[:, 1]).astype(jnp.int32)
+
+        T = self.train_max_steps
+        disp_f_all, _ = jax.vmap(lambda m: euler_integrate_all(m, T))(flow)
+        disp_p_all, _ = jax.vmap(lambda m: euler_integrate_all(m, T))(-flow)
+        flow_f = _select_per_sample(disp_f_all, jnp.clip(t_f, 0, T))
+        flow_p = _select_per_sample(disp_p_all, jnp.clip(t_p, 0, T))
+
+        alpha = (
+            1.0
+            - (idx[:, 1] - idx[:, 0]).astype(jnp.float32)
+            / (idx[:, 2] - idx[:, 0] + 1).astype(jnp.float32)
+        ).reshape(B, 1, 1, 1)
+
+        z_f = z_for_splat(opt, fs_s, z_f)
+        z_p = z_for_splat(opt, fs_e, z_p)
+        # training normalizes each end with its own flow (reference :593-650)
+        zn_f = z_normalize(opt, z_f, flow_f)
+        zn_p = z_normalize(opt, z_p, flow_p)
+
+        g_f = softsplat_sum(pack_splat_input(fs_s, zn_f), flow_f) * alpha
+        g_p = softsplat_sum(pack_splat_input(fs_e, zn_p), flow_p) * (1.0 - alpha)
+        g = g_f + g_p
+        norm = g[..., -1:]
+        feats = g[..., :-1]
+        if "ff_mask" in batch:
+            # free-form occlusion augmentation: mask features, not the
+            # normalizer (reference :680-692)
+            feats = feats * batch["ff_mask"]
+        gen_fs = feats / jnp.maximum(norm, NORM_EPS)
+
+        gen_img = self.decode(gen_fs, train, deterministic)
+        pred = {
+            "PredImg": gen_img,
+            "OutputImg": middle_img,
+            "Z_f": zn_f,
+            "GTMotion": flow,
+        }
+        return gen_img, pred
