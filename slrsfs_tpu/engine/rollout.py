@@ -183,3 +183,133 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     chunks = gen_fs.reshape(N // decode_batch, decode_batch, H, W, gen_fs.shape[-1])
     _, frames = jax.lax.scan(decode_chunk, None, chunks)
     return frames.reshape(N, H, W, 3).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# SLR two-layer rollout
+# ---------------------------------------------------------------------------
+
+from slrsfs_tpu.models.slr import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    slr_composite,
+    slr_pack_splat_input,
+    slr_unpack_splatted,
+)
+
+
+def gaussian_blur_region(mask: jax.Array, W: int) -> jax.Array:
+    """Edit-region soft mask (reference 2layers forward_flow :867-906):
+    gaussian blur with kernel W//20 (made odd), sigma W//50, replicate pad.
+    mask: (B, H, W, 1)."""
+    k = W // 20
+    if k % 2 == 0:
+        k += 1
+    sigma = max(W // 50, 1)
+    xs = jnp.arange(k, dtype=jnp.float32)
+    g2 = jnp.exp(
+        -((xs[:, None] - (k - 1) / 2.0) ** 2 + (xs[None, :] - (k - 1) / 2.0) ** 2)
+        / (2.0 * sigma**2)
+    )
+    g2 = g2 / jnp.sum(g2)
+    kern = g2[:, :, None, None]
+    p = k // 2
+    padded = jnp.pad(mask, ((0, 0), (p, p), (p, p), (0, 0)), mode="edge")
+    return jax.lax.conv_general_dilated(
+        padded, kern, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
+                       positions, valid, bg_img_raw=None,
+                       alpha_region=None, decode_batch: int = 20,
+                       compute_dtype=jnp.float32):
+    """Two-layer SLR rollout (reference test_v1_4eval*.py driver semantics):
+    encode + background + alpha head once, per frame symmetric double-ended
+    splat of [features, fluid-alpha], decode fluid image and refined alpha,
+    composite over the background.
+
+    Returns dict of stacked (N, H, W, C) outputs: PredImg, FluidImg,
+    CompositeFluidAlpha (+ BGImg (H, W, 3)).
+    """
+    opt = model.opt
+    N = n_frames
+    assert N % decode_batch == 0, (N, decode_batch)
+    assert not opt.use_softmax_splatter_v2, "sparse SLR path: v2 norm unsupported"
+    H, W = flow.shape[0], flow.shape[1]
+
+    if compute_dtype != jnp.float32:
+        variables = jax.tree.map(
+            lambda a: a.astype(compute_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            variables,
+        )
+        img = img.astype(compute_dtype)
+
+    fs, z = model.apply(variables, img, method="encode")
+    from slrsfs_tpu.models.baseline import z_for_splat, z_normalize
+
+    z = z_for_splat(opt, fs, z)
+    zn = z_normalize(opt, z, None)
+
+    if bg_img_raw is None:
+        bg_img_raw = model.apply(variables, img, method="bg")
+    bg_tanh = jnp.tanh(bg_img_raw.astype(jnp.float32))
+
+    a_bg_logits, a_fl_logits = model.apply(variables, img, method="alpha_encode")
+    a_bg_sig = jax.nn.sigmoid(a_bg_logits.astype(jnp.float32))
+
+    u, use_alpha0 = slr_pack_splat_input(
+        opt, fs.astype(jnp.float32), zn.astype(jnp.float32),
+        a_fl_logits.astype(jnp.float32), a_bg_sig,
+    )
+    u = u[0]  # (H, W, C)
+
+    moving_mask = jnp.zeros((H, W), jnp.float32).at[
+        positions[:, 1], positions[:, 0]
+    ].max(valid)
+    u_static = u * (1.0 - moving_mask)[..., None]
+    u_mov = u[positions[:, 1], positions[:, 0]] * valid[:, None]
+
+    disp_f, _ = euler_integrate_compact(flow, positions, N - 1)
+    disp_p, _ = euler_integrate_compact(-flow, positions, N)
+
+    def frame(_, t):
+        alpha = jnp.clip(1.0 - t.astype(jnp.float32) / N, ALPHA_MIN, ALPHA_MAX)
+        g_f = softsplat_sum_at(u_mov, positions, disp_f[t], H, W) * alpha
+        g_p = softsplat_sum_at(u_mov, positions, disp_p[N - t], H, W) * (1.0 - alpha)
+        g = (g_f + g_p + u_static)[None]
+        gen_fs, af_warped = slr_unpack_splatted(g, use_alpha0)
+        return None, (gen_fs[0].astype(compute_dtype),
+                      af_warped[0].astype(compute_dtype))
+
+    _, (gen_fs, af_warped) = jax.lax.scan(frame, None, jnp.arange(N))
+
+    region = None
+    if alpha_region is not None:
+        region = gaussian_blur_region(alpha_region.astype(jnp.float32), W)
+
+    def decode_chunk(_, chunk):
+        cf, ca = chunk
+        fluid = model.apply(variables, cf, method="decode_fluid")
+        ga_logits = model.apply(variables, cf, ca, method="decode_alpha")
+        ga = jax.nn.sigmoid(ga_logits.astype(jnp.float32))
+        gen, comp_alpha = slr_composite(
+            fluid.astype(jnp.float32), ga, a_bg_sig, bg_tanh,
+            alpha_region=region,
+        )
+        return None, (gen, fluid.astype(jnp.float32), comp_alpha)
+
+    nb = N // decode_batch
+    chunks = (
+        gen_fs.reshape(nb, decode_batch, H, W, gen_fs.shape[-1]),
+        af_warped.reshape(nb, decode_batch, H, W, 1),
+    )
+    _, (gen, fluid, comp_alpha) = jax.lax.scan(decode_chunk, None, chunks)
+    return {
+        "PredImg": gen.reshape(N, H, W, 3),
+        "FluidImg": fluid.reshape(N, H, W, 3),
+        "CompositeFluidAlpha": comp_alpha.reshape(N, H, W, 1),
+        "BGImg": bg_tanh[0],
+    }

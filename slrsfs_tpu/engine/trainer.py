@@ -58,9 +58,14 @@ def make_lr_schedule(base_lr: float, niter: int, niter_decay: int,
 
 
 class Trainer:
-    def __init__(self, opt: Options, model, steps_per_epoch: int = 500):
+    def __init__(self, opt: Options, model, steps_per_epoch: int = 500,
+                 extra_losses_fn=None):
+        """extra_losses_fn(opt, pred, synth_loss_fn) -> dict with
+        'Total Extra' — model-specific losses beyond synthesis+GAN (the SLR
+        alpha/background set lives in models/slr.py:slr_extra_losses)."""
         self.opt = opt
         self.model = model
+        self.extra_losses_fn = extra_losses_fn
         self.d_model = MultiscaleDiscriminator(opt)
         self.vgg = VGG19Features()
         self.vgg_vars = None  # set via load_vgg / init_vgg
@@ -131,6 +136,10 @@ class Trainer:
                 t_losses = synth(gen_img, middle)
                 total = t_losses["Total Loss"]
                 logs = dict(t_losses)
+                if self.extra_losses_fn is not None:
+                    extra = self.extra_losses_fn(opt, pred, synth)
+                    total = total + extra.pop("Total Extra")
+                    logs.update(extra)
                 if use_d:
                     d_vars = {"params": state.d_params,
                               "spectral": state.d_spectral}

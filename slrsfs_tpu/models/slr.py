@@ -1,0 +1,394 @@
+"""SLR two-layer model: warped fluid layer + hallucinated static background,
+alpha-composited.
+
+Fresh TPU-native equivalent of reference
+``models/animating_softmax_splating_2layers_alpha_seperate.py``
+(AnimatingSoftmaxSplatingJoint):
+
+* ``net_bg``            — background "mean video" network (ctor :172-173)
+* ``net_alpha_encoder`` — 2-channel alpha head on the input image (:174-176,
+                          utilities.py:105-116; channel 0 = background alpha
+                          logits, channel 1 = fluid alpha logits)
+* ``net_alpha_decoder`` — pconv decoder on [warped features, warped alpha]
+                          (utilities.py:118-133: Layers arch, +1 input ch,
+                          -2 output ch → 1 channel)
+* splat packs ``[fs·e^Z, af_logits·e^C, e^C, e^Z]`` with C the composite
+  fluid alpha when ``use_alpha0_as_blending_weight`` (forward_flow :963-976),
+  else ``[fs·e^Z, af_logits·e^Z, e^Z]``
+* composite ``(σ(a_fluid)·I_fluid + σ(a_bg)·I_bg) / clamp(σ(a_fluid)+σ(a_bg))``
+  (:1056-1077), with the per-frame temporal α clamped to [1/600, 599/600]
+  (:952).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from slrsfs_tpu.config import Options
+from slrsfs_tpu.models.baseline import (
+    NORM_EPS,
+    pack_splat_input,
+    z_for_splat,
+    z_normalize,
+)
+from slrsfs_tpu.nn.resnets import (
+    ResNetBGDecoder,
+    ResNetDecoderPconv2,
+    ResNetEncoder,
+    ResNetEncoderWithZ,
+)
+from slrsfs_tpu.ops import softsplat_sum
+
+Array = jax.Array
+
+ALPHA_MIN, ALPHA_MAX = 1.0 / 600.0, 599.0 / 600.0  # reference :461,952
+
+
+def _alpha_opt(opt: Options) -> Options:
+    """get_alpha_encoder/decoder option surgery (utilities.py:105-133)."""
+    out_channel = 3 if opt.AKLloss > 0.0 else 2
+    return opt.replace(
+        refine_model_type=opt.alpha_refine_model_type,
+        out_channel=out_channel,
+        addtional_decoder_input=1,
+        addtional_decoder_output=-2,
+    )
+
+
+class SLRModel(nn.Module):
+    opt: Options
+
+    def setup(self):
+        self.encoder = ResNetEncoderWithZ(self.opt, in_channels=3)
+        self.projector = ResNetDecoderPconv2(self.opt)
+        self.net_bg = ResNetBGDecoder(self.opt)
+        a_opt = _alpha_opt(self.opt)
+        self.net_alpha_encoder = ResNetEncoder(a_opt, in_channels=3)
+        self.net_alpha_decoder = ResNetDecoderPconv2(a_opt)
+
+    # ---- pieces ----------------------------------------------------------
+
+    def encode(self, img: Array, train: bool = False,
+               deterministic: bool = True) -> Tuple[Array, Array]:
+        fs, z = self.encoder(img, train, deterministic)
+        if "relu" in self.opt.Z_model:
+            z = jax.nn.relu(z)
+        return fs, z
+
+    def bg(self, img: Array, train: bool = False,
+           deterministic: bool = True) -> Array:
+        """Raw (pre-Tanh) background image (reference applies Tanh at use
+        sites, forward_flow :925-927)."""
+        return self.net_bg(img, train, deterministic)
+
+    def alpha_encode(self, img: Array, train: bool = False,
+                     deterministic: bool = True) -> Tuple[Array, Array]:
+        """→ (alpha_bg_logits, alpha_fluid_logits), each (B, W, W, 1)
+        (forward_flow :938-946, channel order [bg, fluid])."""
+        out = self.net_alpha_encoder(img, train, deterministic)
+        return out[..., 0:1], out[..., 1:2]
+
+    def decode_fluid(self, gen_fs: Array, train: bool = False,
+                     deterministic: bool = True) -> Array:
+        return jnp.tanh(self.projector(gen_fs, train, deterministic))
+
+    def decode_alpha(self, gen_fs: Array, alpha_warped: Array,
+                     train: bool = False, deterministic: bool = True) -> Array:
+        """Refined fluid alpha logits (forward_flow :1052-1054)."""
+        x = jnp.concatenate([gen_fs, alpha_warped], axis=-1)
+        return self.net_alpha_decoder(x, train, deterministic)
+
+    def __call__(self, img: Array, train: bool = False,
+                 deterministic: bool = True):
+        """Parameter-shaping pass (init)."""
+        fs, z = self.encode(img, train, deterministic)
+        fluid = self.decode_fluid(fs, train, deterministic)
+        bg = self.bg(img, train, deterministic)
+        a_bg, a_fl = self.alpha_encode(img, train, deterministic)
+        ga = self.decode_alpha(fs, a_fl, train, deterministic)
+        return fluid, bg, a_bg, ga
+
+
+def slr_pack_splat_input(opt: Options, fs: Array, zn: Array,
+                         alpha_fluid_logits: Array,
+                         alpha_bg_sig: Array) -> Tuple[Array, bool]:
+    """Packed splat tensor for the SLR model (forward_flow :963-976).
+
+    Returns (packed, use_alpha0): with use_alpha0_as_blending_weight the
+    layout is [fs·e^Z (64), af·e^C (1), e^C (1), e^Z (1)]; otherwise
+    [fs·e^Z (64), af·e^Z (1), e^Z (1)].
+    """
+    ez = jnp.exp(zn)
+    if opt.use_alpha0_as_blending_weight:
+        a_fl_sig = jax.nn.sigmoid(alpha_fluid_logits)
+        norm0 = jnp.maximum(a_fl_sig + alpha_bg_sig, 1e-8)
+        comp = jnp.exp(a_fl_sig / norm0)
+        return (
+            jnp.concatenate(
+                [fs * ez, alpha_fluid_logits * comp, comp, ez], axis=-1
+            ),
+            True,
+        )
+    return (
+        jnp.concatenate([fs * ez, alpha_fluid_logits * ez, ez], axis=-1),
+        False,
+    )
+
+
+def slr_unpack_splatted(g: Array, use_alpha0: bool
+                        ) -> Tuple[Array, Array]:
+    """Normalize a summed double-ended SLR splat (forward_flow :992-1045).
+
+    Returns (gen_fs (…, 64), alpha_fluid_warped (…, 1))."""
+    if use_alpha0:
+        feats = g[..., :-3]
+        af = g[..., -3:-2]
+        a_norm = jnp.maximum(g[..., -2:-1], NORM_EPS)
+        norm = jnp.maximum(g[..., -1:], NORM_EPS)
+        return feats / norm, af / a_norm
+    feats = g[..., :-2]
+    af = g[..., -2:-1]
+    norm = jnp.maximum(g[..., -1:], NORM_EPS)
+    return feats / norm, af / norm
+
+
+def slr_composite(gen_fluid_img: Array, gen_fluid_alpha_sig: Array,
+                  alpha_bg_sig: Array, bg_img_tanh: Array,
+                  alpha_region: Optional[Array] = None
+                  ) -> Tuple[Array, Array]:
+    """Two-layer composite (forward_flow :1056-1088).
+
+    Returns (gen_img, composite_fluid_alpha)."""
+    alpha_norm = jnp.maximum(gen_fluid_alpha_sig + alpha_bg_sig, 1e-8)
+    gen = (gen_fluid_alpha_sig * gen_fluid_img
+           + alpha_bg_sig * bg_img_tanh) / alpha_norm
+    if alpha_region is not None:
+        gen = gen * alpha_region + gen_fluid_img * (1.0 - alpha_region)
+    return gen, gen_fluid_alpha_sig / alpha_norm
+
+
+class BackgroundModel(nn.Module):
+    """Stage-2 background network trainer head (reference
+    ``BackgroundNetwork``, 2layers file :1117-1234): net_bg trained to
+    reproduce the temporal mean video."""
+
+    opt: Options
+
+    def setup(self):
+        self.net_bg = ResNetBGDecoder(self.opt)
+
+    def __call__(self, img: Array, train: bool = False,
+                 deterministic: bool = True) -> Array:
+        return jnp.tanh(self.net_bg(img, train, deterministic))
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+def smooth_l1(x: Array, y: Array, gamma: float = 0.1) -> Array:
+    """Reference SmoothL1Loss (2layers file :63-65), elementwise."""
+    t = jnp.abs(x - y)
+    return t + gamma * (2.0 * jax.nn.sigmoid(5.0 * t) - 1.0)
+
+
+def total_variation(img: Array) -> Array:
+    """Reference total_variation_loss (:67-71). NHWC."""
+    return (
+        jnp.mean(jnp.abs(img[:, :, :-1, :] - img[:, :, 1:, :]))
+        + jnp.mean(jnp.abs(img[:, :-1, :, :] - img[:, 1:, :, :]))
+    )
+
+
+class SLRTrainable(SLRModel):
+    """(start, middle, end) training pass of the joint two-layer model
+    (reference forward, 2layers file :256-809). Returns (gen_img, pred) where
+    pred carries every tensor the SLR loss set needs."""
+
+    train_max_steps: int = 60
+
+    def forward_train(self, batch, train: bool = True,
+                      deterministic: bool = False):
+        from slrsfs_tpu.models.baseline import _select_per_sample
+        from slrsfs_tpu.ops import euler_integrate_all
+
+        opt = self.opt
+        start_img, middle_img, end_img = batch["images"]
+        idx = batch["index"]
+        flow = batch["motions"]
+        mask_rock = batch["mask_rock"]  # (B, H, W, 1)
+        mean_img = batch["mean_video"]
+        B = flow.shape[0]
+
+        # moving-region mask from motion speed (reference :334-344)
+        speed = jnp.linalg.norm(flow, axis=-1, keepdims=True)
+        small_motion_alpha = (
+            speed < jnp.mean(speed, axis=(1, 2, 3), keepdims=True) * 0.1
+        ).astype(jnp.float32)
+
+        fs_s, z_f = self.encode(start_img, train, deterministic)
+        fs_e, z_p = self.encode(end_img, train, deterministic)
+
+        bg_raw = self.bg(start_img, train, deterministic)
+        bg_tanh = jnp.tanh(bg_raw)
+
+        a_bg_logits_f, a_fl_logits_f = self.alpha_encode(
+            start_img, train, deterministic)
+        a_bg_logits_p, a_fl_logits_p = self.alpha_encode(
+            end_img, train, deterministic)
+        a_bg_sig_f = jax.nn.sigmoid(a_bg_logits_f)
+
+        # composite fluid alpha of frame 0 (reference :420-421)
+        a_fl_sig_f = jax.nn.sigmoid(a_fl_logits_f)
+        comp_i0 = a_fl_sig_f / jnp.maximum(a_fl_sig_f + a_bg_sig_f, 1e-8)
+
+        t_f = (idx[:, 1] - idx[:, 0]).astype(jnp.int32)
+        t_p = (idx[:, 2] + 1 - idx[:, 1]).astype(jnp.int32)
+        T = self.train_max_steps
+        disp_f_all, _ = jax.vmap(lambda m: euler_integrate_all(m, T))(flow)
+        disp_p_all, _ = jax.vmap(lambda m: euler_integrate_all(m, T))(-flow)
+        flow_f = _select_per_sample(disp_f_all, jnp.clip(t_f, 0, T))
+        flow_p = _select_per_sample(disp_p_all, jnp.clip(t_p, 0, T))
+
+        alpha = jnp.clip(
+            1.0
+            - (idx[:, 1] - idx[:, 0]).astype(jnp.float32)
+            / (idx[:, 2] - idx[:, 0] + 1).astype(jnp.float32),
+            ALPHA_MIN, ALPHA_MAX,
+        ).reshape(B, 1, 1, 1)
+
+        z_f = z_for_splat(opt, fs_s, z_f)
+        z_p = z_for_splat(opt, fs_e, z_p)
+        zn_f = z_normalize(opt, z_f, flow_f)
+        zn_p = z_normalize(opt, z_p, flow_p)
+
+        # both ends share frame-0's composite alpha as blending weight
+        # (reference :480-540)
+        u_f, use_alpha0 = slr_pack_splat_input(
+            opt, fs_s, zn_f, a_fl_logits_f, a_bg_sig_f)
+        if use_alpha0:
+            comp_exp = jnp.exp(comp_i0)
+            u_p = jnp.concatenate(
+                [fs_e * jnp.exp(zn_p), a_fl_logits_p * comp_exp, comp_exp,
+                 jnp.exp(zn_p)], axis=-1)
+        else:
+            u_p = jnp.concatenate(
+                [fs_e * jnp.exp(zn_p), a_fl_logits_p * jnp.exp(zn_p),
+                 jnp.exp(zn_p)], axis=-1)
+
+        g = (softsplat_sum(u_f, flow_f) * alpha
+             + softsplat_sum(u_p, flow_p) * (1.0 - alpha))
+        alpha_fluid_mask = jax.lax.stop_gradient(
+            (g[..., -1:] > NORM_EPS).astype(jnp.float32))
+        gen_fs, alpha_fluid_warped = slr_unpack_splatted(g, use_alpha0)
+        if "ff_mask" in batch:
+            # SLR applies the occlusion mask AFTER normalization (:586-594)
+            gen_fs = gen_fs * batch["ff_mask"]
+
+        gen_fluid_img = self.decode_fluid(gen_fs, train, deterministic)
+        ga_raw = self.decode_alpha(gen_fs, alpha_fluid_warped, train,
+                                   deterministic)
+        gen_fluid_alpha = jax.nn.sigmoid(ga_raw)
+
+        gen_img, comp_alpha = slr_composite(
+            gen_fluid_img, gen_fluid_alpha, a_bg_sig_f, bg_tanh)
+
+        # 3-way GT alpha (reference :619-621)
+        moving = 1.0 - small_motion_alpha
+        gt_alpha = (mask_rock * moving * 0.25
+                    + (1.0 - mask_rock) * moving * 1.0
+                    + small_motion_alpha * 0.5)
+
+        pred = {
+            "PredImg": gen_img,
+            "OutputImg": middle_img,
+            "BGImg_f": bg_tanh,
+            "MeanImg": mean_img,
+            "FluidImg": gen_fluid_img,
+            "AlphaFluid_f": a_fl_sig_f,
+            "AlphaBG_f": a_bg_sig_f,
+            "AlphaFluidLogits_f": a_fl_logits_f,
+            "CompositeFluidAlpha": comp_alpha,
+            "CompositeFluidAlpha_I0": comp_i0,
+            "AlphaFluidWarped": alpha_fluid_warped,
+            "AlphaFluidMask": alpha_fluid_mask,
+            "GenFluidAlphaRaw": ga_raw,
+            "GTAlpha": gt_alpha,
+            "SmallMotionAlpha": small_motion_alpha,
+            "RockMask": mask_rock,
+            "Z_f": zn_f,
+            "GTMotion": flow,
+        }
+        return gen_img, pred
+
+
+def slr_extra_losses(opt: Options, pred: Dict[str, Array],
+                     synth_loss_fn=None,
+                     rock_weight: Optional[Array] = None) -> Dict[str, Array]:
+    """The SLR loss set on top of the synthesis loss (reference :658-765).
+
+    rock_weight: optionally overrides opt.RockRegionloss (the shipped driver
+    decays it per epoch, train_animating_..._L1.py:356-358).
+    Returns dict including 'Total Extra'.
+    """
+    out: Dict[str, Array] = {}
+    total = 0.0
+    small = pred["SmallMotionAlpha"]
+    moving = 1.0 - small
+    rock = pred["RockMask"]
+    comp_i0 = pred["CompositeFluidAlpha_I0"]
+    gt_alpha = pred["GTAlpha"]
+
+    if opt.AlphaMSEloss > 0.0:
+        v = jnp.mean(jnp.square(comp_i0 * moving - gt_alpha * moving))
+        out["AlphaMSEloss"] = v
+        total = total + v * opt.AlphaMSEloss
+    if opt.AlphaL1loss > 0.0:
+        v = jnp.mean(smooth_l1(comp_i0 * moving, gt_alpha * moving))
+        out["AlphaL1loss"] = v
+        total = total + v * opt.AlphaL1loss
+    if opt.ATVloss > 0.0:
+        v = (total_variation(pred["AlphaFluidLogits_f"])
+             + total_variation(pred["AlphaBG_f"]))
+        out["AlphaTV"] = v
+        total = total + v * opt.ATVloss
+    if opt.MVloss > 0.0 and synth_loss_fn is not None:
+        bg_losses = synth_loss_fn(pred["BGImg_f"], pred["MeanImg"])
+        for k, v in bg_losses.items():
+            if "Perceptual" in k or "L1" in k:
+                out[k + "_bg"] = v
+        total = total + bg_losses["Total Loss"] * opt.MVloss
+    if opt.FluidRegionloss > 0.0:
+        m = (1.0 - rock) * moving
+        v = jnp.mean(smooth_l1(comp_i0 * m, jnp.ones_like(comp_i0) * m))
+        out["FluidRegionLoss"] = v
+        total = total + v * opt.FluidRegionloss
+    rw = opt.RockRegionloss if rock_weight is None else rock_weight
+    if (rock_weight is not None) or opt.RockRegionloss > 0.0:
+        m = rock * moving
+        v = jnp.mean(
+            smooth_l1(comp_i0 * m, opt.RockRegionlosstarget * jnp.ones_like(comp_i0) * m)
+        )
+        out["RockRegionLoss"] = v
+        total = total + v * rw
+    if opt.ADCloss > 0.0:
+        m = pred["AlphaFluidMask"]
+        v = jnp.mean(smooth_l1(
+            jax.lax.stop_gradient(pred["AlphaFluidWarped"]) * m,
+            pred["GenFluidAlphaRaw"] * m))
+        out["Alpha Decoder Consistency Loss"] = v
+        total = total + v * opt.ADCloss
+    if opt.MRADCloss > 0.0:
+        m = pred["AlphaFluidMask"]
+        v = jnp.mean(smooth_l1(
+            jax.lax.stop_gradient(pred["AlphaFluidWarped"]) * m,
+            pred["GenFluidAlphaRaw"] * m) * moving)
+        out["Moving Region Alpha Decoder Consistency Loss"] = v
+        total = total + v * opt.MRADCloss
+    out["Total Extra"] = total
+    return out

@@ -1,0 +1,105 @@
+"""SLR two-layer model: rollout invariants and a training step smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from slrsfs_tpu.config import Options
+from slrsfs_tpu.engine.init_utils import settle
+from slrsfs_tpu.engine.rollout import prepare_scene_sparse, slr_rollout_sparse
+from slrsfs_tpu.engine.trainer import Trainer
+from slrsfs_tpu.models.slr import SLRModel, SLRTrainable, slr_extra_losses
+
+
+def _opt(**kw):
+    base = dict(
+        ngf=16, W=32,
+        model_type="softmax_splating_2layers_alpha_seperate",
+        use_alpha0_as_blending_weight=True,
+        ATVloss=0.3, ADCloss=1.0, FluidRegionloss=3.0,
+        RockRegionloss=30.0, MVloss=1.0, AlphaL1loss=1.0,
+    )
+    base.update(kw)
+    return Options(**base)
+
+
+def _init_slr(model, img):
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img, False, True,
+    )
+    return settle(model, variables, (img,), n=8)
+
+
+def test_slr_rollout_shapes_and_composite():
+    rng = np.random.default_rng(21)
+    H = W = 32
+    N = 4
+    opt = _opt()
+    model = SLRModel(opt)
+    img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
+    variables = _init_slr(model, img)
+
+    flow = (rng.standard_normal((H, W, 2)) * 1.0).astype(np.float32)
+    flow[: H // 2] = 0.0
+    pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
+    out = slr_rollout_sparse(
+        model, variables, jnp.asarray(img), jnp.asarray(flow), N,
+        jnp.asarray(pos), jnp.asarray(valid), decode_batch=2,
+    )
+    assert out["PredImg"].shape == (N, H, W, 3)
+    assert out["FluidImg"].shape == (N, H, W, 3)
+    assert out["CompositeFluidAlpha"].shape == (N, H, W, 1)
+    assert out["BGImg"].shape == (H, W, 3)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    ca = np.asarray(out["CompositeFluidAlpha"])
+    assert ca.min() >= 0.0 and ca.max() <= 1.0
+
+    # composite is a convex combination of fluid and bg images
+    pred = np.asarray(out["PredImg"])
+    fluid = np.asarray(out["FluidImg"])
+    bg = np.asarray(out["BGImg"])[None]
+    lo = np.minimum(fluid, bg) - 1e-5
+    hi = np.maximum(fluid, bg) + 1e-5
+    assert (pred >= lo).all() and (pred <= hi).all()
+
+
+def test_slr_train_step():
+    rng = np.random.default_rng(22)
+    B, H, W = 2, 32, 32
+    opt = _opt(batch_size=B)
+    model = SLRTrainable(opt, train_max_steps=4)
+    trainer = Trainer(opt, model, steps_per_epoch=10,
+                      extra_losses_fn=slr_extra_losses)
+    idx = np.zeros((B, 3), np.int32)
+    idx[:, 1] = rng.integers(1, 4, size=B)
+    idx[:, 2] = 4
+    flow = rng.standard_normal((B, H, W, 2)).astype(np.float32) * 0.5
+    flow[:, : H // 2] = 0.0
+    batch = {
+        "images": [
+            jnp.asarray(rng.standard_normal((B, H, W, 3)) * 0.25, jnp.float32)
+            for _ in range(3)
+        ],
+        "index": jnp.asarray(idx),
+        "motions": jnp.asarray(flow),
+        "mask_rock": jnp.asarray(
+            (rng.random((B, H, W, 1)) < 0.2).astype(np.float32)
+        ),
+        "mean_video": jnp.asarray(
+            rng.standard_normal((B, H, W, 3)) * 0.25, jnp.float32
+        ),
+    }
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer.make_train_step())
+    new_state, logs = step(state, batch, jax.random.PRNGKey(1))
+    for k in ("AlphaL1loss", "AlphaTV", "FluidRegionLoss", "RockRegionLoss",
+              "Alpha Decoder Consistency Loss", "L1_bg", "Perceptual_bg",
+              "GAN", "D_Fake", "Total Loss"):
+        assert k in logs, sorted(logs)
+    for k, v in logs.items():
+        assert np.isfinite(np.asarray(v)).all(), (k, v)
+    g0 = jax.tree.leaves(state.g_params)[0]
+    g1 = jax.tree.leaves(new_state.g_params)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
