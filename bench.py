@@ -44,7 +44,10 @@ def main():
     flow_np = rng.standard_normal((H, W, 2)).astype(np.float32)
     flow_np[: H // 2] = 0.0  # static top half (sky/rocks)
 
-    variables = model.init(
+    from slrsfs_tpu.engine.init_utils import jit_init
+
+    variables = jit_init(
+        model,
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         img, False, True,
     )

@@ -18,9 +18,13 @@ def settle(model, variables, example_args, n: int = 8, method=None):
     """Run ``n`` train-mode forward passes updating spectral u/v and BN stats.
 
     example_args: tuple of positional args after ``variables`` (the module's
-    call signature must accept (..., train, deterministic)).
+    call signature must accept (..., train, deterministic)). The step is
+    jitted: on the axon-tunneled TPU, un-jitted flax applies execute eagerly
+    op-by-op over the tunnel (minutes instead of seconds).
     """
-    for _ in range(n):
+
+    @jax.jit
+    def one(variables):
         _, updates = model.apply(
             variables,
             *example_args,
@@ -29,5 +33,19 @@ def settle(model, variables, example_args, n: int = 8, method=None):
             mutable=["spectral", "batch_stats"],
             method=method,
         )
-        variables = {**variables, **updates}
+        return {**variables, **updates}
+
+    for _ in range(n):
+        variables = one(variables)
     return variables
+
+
+def jit_init(model, rngs, *args, method=None):
+    """Jitted model.init — mandatory on the axon TPU (eager init is ~100x
+    slower over the tunnel)."""
+
+    @jax.jit
+    def go():
+        return model.init(rngs, *args, method=method)
+
+    return go()

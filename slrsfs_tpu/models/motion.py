@@ -1,0 +1,258 @@
+"""Motion regressors: dense Eulerian motion from image (+ fluid mask + sparse
+hints).
+
+Fresh NHWC/flax equivalents of:
+
+* ``SPADEUnet4MaskMotion`` — reference ``models/networks/architectures.py
+  :602-743``: 8-down/8-up UNet, SPADE normalization conditioned on the
+  6-channel input [RGB, mask, hint] (mask resized nearest, rest bilinear —
+  ``models/networks/networks.py:422-463``), and the reference's per-channel
+  upsampling quirk (feature channels [:3] bilinear, [3:4] nearest, [4:]
+  bilinear) transliterated exactly;
+* ``Unet4Motion`` — architectures.py:382-493: same skeleton with plain
+  instance/batch norms;
+* ``MotionRegressor`` — reference ``models/unet_motion.py`` (UnetMotion /
+  SPADEUnetMaskMotion): assembles [image, moving-mask, hint] input, scales
+  the prediction by ``div_flow``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from slrsfs_tpu.config import Options
+from slrsfs_tpu.losses.synthesis import MotionLoss, psnr
+from slrsfs_tpu.nn.conv import (
+    Conv,
+    resize_bilinear,
+    upsample_bilinear_2x,
+    upsample_nearest_2x,
+)
+from slrsfs_tpu.nn.discriminators import instance_norm
+
+Array = jax.Array
+
+
+def _resize_nearest(x: Array, h: int, w: int) -> Array:
+    B, C = x.shape[0], x.shape[-1]
+    return jax.image.resize(x, (B, h, w, C), method="nearest")
+
+
+def _resize_segmap(segmap: Array, h: int, w: int) -> Array:
+    """SPADE segmap resize (networks.py:441-454): channel 3 (mask) nearest,
+    others bilinear. Supports 1/4/6-channel maps."""
+    c = segmap.shape[-1]
+    if c == 1:
+        return _resize_nearest(segmap, h, w)
+    if c in (4, 6):
+        parts = [
+            resize_bilinear(segmap[..., :3], h, w),
+            _resize_nearest(segmap[..., 3:4], h, w),
+        ]
+        if c == 6:
+            parts.append(resize_bilinear(segmap[..., 4:6], h, w))
+        return jnp.concatenate(parts, axis=-1)
+    return resize_bilinear(segmap, h, w)
+
+
+class SPADE(nn.Module):
+    """networks.py:422-463 (param-free instance norm variant; the shipped
+    motion config uses motion_norm_G='sync:spectral_instance')."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: Array, segmap: Array, train: bool) -> Array:
+        normalized = instance_norm(x)
+        seg = _resize_segmap(segmap, x.shape[1], x.shape[2])
+        h = Conv(128, 3, 1, 1, spectral=False, name="mlp_shared")(seg, train)
+        h = jax.nn.relu(h)
+        gamma = Conv(self.features, 3, 1, 1, spectral=False, name="mlp_gamma")(h, train)
+        beta = Conv(self.features, 3, 1, 1, spectral=False, name="mlp_beta")(h, train)
+        return normalized * (1.0 + gamma) + beta
+
+
+def _up_split(x: Array) -> Array:
+    """The reference's per-channel upsample (architectures.py:698-739):
+    channels [:3] bilinear, [3:4] nearest, [4:] bilinear."""
+    return jnp.concatenate(
+        [
+            upsample_bilinear_2x(x[..., :3]),
+            upsample_nearest_2x(x[..., 3:4]),
+            upsample_bilinear_2x(x[..., 4:]),
+        ],
+        axis=-1,
+    )
+
+
+class SPADEUnet4MaskMotion(nn.Module):
+    """architectures.py:602-743. channels_in = 6 ([img, mask, hint])."""
+
+    opt: Options
+    num_filters: int = 32
+    channels_out: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        from slrsfs_tpu.config import spectral as _sp
+
+        sp = _sp(self.opt)
+        nf = self.num_filters
+        lrelu = lambda t: jax.nn.leaky_relu(t, 0.2)
+
+        def conv(f, k, s, p, name):
+            return Conv(f, k, s, p, spectral=sp, name=name)
+
+        segmap = x
+        e1 = conv(nf, 4, 2, 1, "conv1")(x, train)
+        e2 = SPADE(nf * 2, name="spade_layer2_0")(
+            conv(nf * 2, 4, 2, 1, "conv2")(lrelu(e1), train), segmap, train)
+        e3 = SPADE(nf * 4, name="spade_layer4_0")(
+            conv(nf * 4, 4, 2, 1, "conv3")(lrelu(e2), train), segmap, train)
+        e4 = SPADE(nf * 8, name="spade_layer8_0")(
+            conv(nf * 8, 4, 2, 1, "conv4")(lrelu(e3), train), segmap, train)
+        e5 = SPADE(nf * 8, name="spade_layer8_1")(
+            conv(nf * 8, 4, 2, 1, "conv5")(lrelu(e4), train), segmap, train)
+        e6 = SPADE(nf * 8, name="spade_layer8_2")(
+            conv(nf * 8, 4, 2, 1, "conv6")(lrelu(e5), train), segmap, train)
+        e7 = SPADE(nf * 8, name="spade_layer8_3")(
+            conv(nf * 8, 4, 2, 1, "conv7")(lrelu(e6), train), segmap, train)
+        e8 = conv(nf * 8, 4, 2, 1, "conv8")(lrelu(e7), train)
+
+        e8 = _up_split(jax.nn.relu(e8))
+        d1_ = SPADE(nf * 8, name="spade_layer8_4")(
+            conv(nf * 8, 3, 1, 1, "dconv1")(e8, train), segmap, train)
+        d1 = jax.nn.relu(jnp.concatenate([_up_split(d1_), _up_split(e7)], -1))
+        d2_ = SPADE(nf * 8, name="spade_layer8_5")(
+            conv(nf * 8, 3, 1, 1, "dconv2")(d1, train), segmap, train)
+        d2 = jax.nn.relu(jnp.concatenate([_up_split(d2_), _up_split(e6)], -1))
+        d3_ = SPADE(nf * 8, name="spade_layer8_6")(
+            conv(nf * 8, 3, 1, 1, "dconv3")(d2, train), segmap, train)
+        d3 = jax.nn.relu(jnp.concatenate([_up_split(d3_), _up_split(e5)], -1))
+        d4_ = SPADE(nf * 8, name="spade_layer8_7")(
+            conv(nf * 8, 3, 1, 1, "dconv4")(d3, train), segmap, train)
+        d4 = jax.nn.relu(jnp.concatenate([_up_split(d4_), _up_split(e4)], -1))
+        d5_ = SPADE(nf * 4, name="spade_layer4_1")(
+            conv(nf * 4, 3, 1, 1, "dconv5")(d4, train), segmap, train)
+        d5 = jax.nn.relu(jnp.concatenate([_up_split(d5_), _up_split(e3)], -1))
+        d6_ = SPADE(nf * 2, name="spade_layer2_1")(
+            conv(nf * 2, 3, 1, 1, "dconv6")(d5, train), segmap, train)
+        d6 = jax.nn.relu(jnp.concatenate([_up_split(d6_), _up_split(e2)], -1))
+        d7_ = SPADE(nf, name="spade_layer")(
+            conv(nf, 3, 1, 1, "dconv7")(d6, train), segmap, train)
+        d7 = jax.nn.relu(jnp.concatenate([_up_split(d7_), _up_split(e1)], -1))
+        return conv(self.channels_out, 3, 1, 1, "dconv8")(d7, train)
+
+
+class Unet4Motion(nn.Module):
+    """architectures.py:382-493: plain-norm 8/8 UNet, uniform bilinear up."""
+
+    opt: Options
+    num_filters: int = 32
+    channels_out: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        from slrsfs_tpu.config import spectral as _sp
+
+        sp = _sp(self.opt)
+        nf = self.num_filters
+        lrelu = lambda t: jax.nn.leaky_relu(t, 0.2)
+        up = upsample_bilinear_2x
+
+        def conv(f, k, s, p, name):
+            return Conv(f, k, s, p, spectral=sp, name=name)
+
+        norm = instance_norm  # motion_norm_G 'spectral_instance'
+        e1 = conv(nf, 4, 2, 1, "conv1")(x, train)
+        e2 = norm(conv(nf * 2, 4, 2, 1, "conv2")(lrelu(e1), train))
+        e3 = norm(conv(nf * 4, 4, 2, 1, "conv3")(lrelu(e2), train))
+        e4 = norm(conv(nf * 8, 4, 2, 1, "conv4")(lrelu(e3), train))
+        e5 = norm(conv(nf * 8, 4, 2, 1, "conv5")(lrelu(e4), train))
+        e6 = norm(conv(nf * 8, 4, 2, 1, "conv6")(lrelu(e5), train))
+        e7 = norm(conv(nf * 8, 4, 2, 1, "conv7")(lrelu(e6), train))
+        e8 = conv(nf * 8, 4, 2, 1, "conv8")(lrelu(e7), train)
+
+        d1_ = norm(conv(nf * 8, 3, 1, 1, "dconv1")(up(jax.nn.relu(e8)), train))
+        d1 = jax.nn.relu(jnp.concatenate([d1_, e7], -1))
+        d2_ = norm(conv(nf * 8, 3, 1, 1, "dconv2")(up(d1), train))
+        d2 = jax.nn.relu(jnp.concatenate([d2_, e6], -1))
+        d3_ = norm(conv(nf * 8, 3, 1, 1, "dconv3")(up(d2), train))
+        d3 = jax.nn.relu(jnp.concatenate([d3_, e5], -1))
+        d4_ = norm(conv(nf * 8, 3, 1, 1, "dconv4")(up(d3), train))
+        d4 = jax.nn.relu(jnp.concatenate([d4_, e4], -1))
+        d5_ = norm(conv(nf * 4, 3, 1, 1, "dconv5")(up(d4), train))
+        d5 = jax.nn.relu(jnp.concatenate([d5_, e3], -1))
+        d6_ = norm(conv(nf * 2, 3, 1, 1, "dconv6")(up(d5), train))
+        d6 = jax.nn.relu(jnp.concatenate([d6_, e2], -1))
+        d7_ = norm(conv(nf, 3, 1, 1, "dconv7")(up(d6), train))
+        d7 = jax.nn.relu(jnp.concatenate([d7_, e1], -1))
+        return conv(self.channels_out, 3, 1, 1, "dconv8")(up(d7), train)
+
+
+def moving_region_mask(motion: Array) -> Array:
+    """speed >= 0.1·mean-speed mask (reference unet_motion.py:57-61). NHWC."""
+    speed = jnp.linalg.norm(motion, axis=-1, keepdims=True)
+    small = (speed < jnp.mean(speed, axis=(1, 2, 3), keepdims=True) * 0.1)
+    return 1.0 - small.astype(jnp.float32)
+
+
+class MotionRegressor(nn.Module):
+    """reference models/unet_motion.py (UnetMotion / SPADEUnetMaskMotion)."""
+
+    opt: Options
+
+    def setup(self):
+        if "SPADE" in self.opt.model_type:
+            self.motion_predictor = SPADEUnet4MaskMotion(self.opt)
+        else:
+            self.motion_predictor = Unet4Motion(self.opt)
+
+    def _assemble(self, image, mask, hint):
+        parts = [image]
+        if self.opt.use_mask_as_motion_input:
+            parts.append(mask)
+        if self.opt.use_hint_as_motion_input:
+            parts.append(hint)
+        return jnp.concatenate(parts, axis=-1)
+
+    def predict(self, image: Array, mask: Optional[Array] = None,
+                hint: Optional[Array] = None, train: bool = False) -> Array:
+        """forward_flow (unet_motion.py:174-190): prediction · div_flow."""
+        x = self._assemble(image, mask, hint)
+        return self.motion_predictor(x, train) * self.opt.div_flow
+
+    def __call__(self, image: Array, mask: Optional[Array] = None,
+                 hint: Optional[Array] = None, train: bool = False) -> Array:
+        return self.predict(image, mask, hint, train)
+
+    def forward_train(self, batch, train: bool = True,
+                      deterministic: bool = False):
+        """Training pass (unet_motion.py:131-172): mask derived from GT
+        motion speed; returns (pred_motion·div_flow, pred_dict)."""
+        image = batch["images"][0]
+        gt_motion = batch["motions"]
+        mask = moving_region_mask(gt_motion)
+        hint = batch.get("hints")
+        pred = self.predict(image, mask, hint, train)
+        pred_dict = {
+            "PredMotion": pred / self.opt.div_flow,
+            "GTMotion": gt_motion,
+            "InputImg": image,
+            "MovingMask": mask,
+        }
+        if hint is not None:
+            pred_dict["HintMotion"] = hint
+        return pred, pred_dict
+
+
+def motion_losses(opt: Options, pred_scaled: Array, gt_motion: Array
+                  ) -> Dict[str, Array]:
+    """MotionLoss·div_flow + PSNR metric (unet_motion.py:158-159)."""
+    ml = MotionLoss(opt.motion_losses)(pred_scaled, gt_motion)
+    ml["PSNR_motion"] = psnr(pred_scaled, gt_motion)
+    return ml
