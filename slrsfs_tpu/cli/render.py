@@ -1,0 +1,201 @@
+"""Render an animated video from a still image + motion field.
+
+Equivalent of the reference inference drivers
+(``test_animating/test_baseline_4eval*.py``, ``test_v1_4eval*.py``) with the
+whole rollout fused into one on-device program:
+
+    python -m slrsfs_tpu.cli.render IMAGE FLOW SAVE_DIR [--ckpt CKPT] ...
+
+Protocol parity: input resized to W² (PIL bilinear) and normalized to [-1,1];
+flow scaled by W/source · speed and nearest-resized (test_baseline_4eval.py:
+161-184); optional align.json speed alignment (flow · frame/N, :198-202);
+frames written to <save_dir>/<name>/PredImg/%06d.png at the output size (raw
+or half of the input image, :159-161) and assembled to mp4 via ffmpeg.
+Flow editing: --speed scalar, --rotate (degrees) and --flow-scale applied to
+the motion vectors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+
+def _load_flow(path: str) -> np.ndarray:
+    from slrsfs_tpu.data.tensors import load_compressed_tensor, motion_to_hw2
+    from slrsfs_tpu.utils.flow_viz import read_flo
+
+    if path.endswith(".flo"):
+        return read_flo(path)
+    return motion_to_hw2(load_compressed_tensor(path))
+
+
+def edit_flow(flow: np.ndarray, rotate_deg: float = 0.0,
+              scale: float = 1.0) -> np.ndarray:
+    """Rotate motion vectors by an angle and scale their magnitude."""
+    if rotate_deg:
+        th = np.deg2rad(rotate_deg)
+        c, s = np.cos(th), np.sin(th)
+        u = flow[..., 0] * c - flow[..., 1] * s
+        v = flow[..., 0] * s + flow[..., 1] * c
+        flow = np.stack([u, v], -1).astype(np.float32)
+    return flow * scale
+
+
+def render_scene(image_path: str, flow_path: str, save_dir: str,
+                 ckpt: str = None, name: str = None, W: int = 256,
+                 n_frames: int = 60, speed: float = 1.0,
+                 align_json: str = "None", rawsize: bool = False,
+                 rotate: float = 0.0, flow_scale: float = 1.0,
+                 dtype: str = "float32", decode_batch: int = 20,
+                 alpha_region_path: str = None, seed: int = 0):
+    from slrsfs_tpu.config import Options
+    from slrsfs_tpu.data.transforms import transform_flow
+    from slrsfs_tpu.engine.init_utils import jit_init, settle
+    from slrsfs_tpu.engine.rollout import (
+        baseline_rollout_sparse,
+        prepare_scene_sparse,
+        slr_rollout_sparse,
+    )
+    from slrsfs_tpu.models.baseline import BaselineModel
+    from slrsfs_tpu.models.slr import SLRModel
+
+    name = name or os.path.splitext(os.path.basename(image_path))[0]
+    out_dir = os.path.join(save_dir, name)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # --- model -----------------------------------------------------------
+    if ckpt:
+        from slrsfs_tpu.io.checkpoint import import_checkpoint
+
+        variables, opt = import_checkpoint(ckpt)
+        opt = opt.replace(W=W)
+    else:  # random weights (smoke/benchmark mode)
+        opt = Options(W=W, bn_noise_misc=True)
+    slr = opt.model_type == "softmax_splating_2layers_alpha_seperate"
+    model = (SLRModel if slr else BaselineModel)(opt)
+    img_pil = Image.open(image_path).convert("RGB")
+    out_w, out_h = img_pil.size if rawsize else (img_pil.size[0] // 2,
+                                                 img_pil.size[1] // 2)
+    img = np.asarray(img_pil.resize((W, W), Image.BILINEAR), np.float32)
+    img = ((img / 255.0 - 0.5) / 0.5)[None]
+    img = jnp.asarray(img)
+    if not ckpt:
+        variables = jit_init(
+            model, {"params": jax.random.PRNGKey(seed),
+                    "noise": jax.random.PRNGKey(seed + 1)}, img, False, True)
+        variables = settle(model, variables, (img,), n=6)
+
+    # --- flow --------------------------------------------------------------
+    flow = _load_flow(flow_path)
+    flow = edit_flow(flow, rotate, flow_scale)
+    flow = transform_flow(flow, W, None, mode="nearest", speed=speed)
+    if align_json and align_json != "None":
+        with open(align_json) as f:
+            align = json.load(f)
+        if name in align:
+            flow = flow * (align[name] / float(n_frames))
+    positions, valid = prepare_scene_sparse(flow)
+
+    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    db = decode_batch
+    while n_frames % db:
+        db -= 1
+
+    # --- fused rollout -------------------------------------------------------
+    if slr:
+        region = None
+        if alpha_region_path:
+            r = Image.open(alpha_region_path).convert("L").resize((W, W))
+            region = jnp.asarray(np.asarray(r, np.float32)[None, ..., None] / 255.0)
+        outs = jax.jit(
+            lambda v, i, f, p, va: slr_rollout_sparse(
+                model, v, i, f, n_frames, p, va, decode_batch=db,
+                compute_dtype=compute_dtype, alpha_region=region)
+        )(variables, img, jnp.asarray(flow), jnp.asarray(positions),
+          jnp.asarray(valid))
+    else:
+        frames = jax.jit(
+            lambda v, i, f, p, va: baseline_rollout_sparse(
+                model, v, i, f, n_frames, p, va, decode_batch=db,
+                compute_dtype=compute_dtype)
+        )(variables, img, jnp.asarray(flow), jnp.asarray(positions),
+          jnp.asarray(valid))
+        outs = {"PredImg": frames}
+
+    # --- save -----------------------------------------------------------------
+    import cv2
+
+    for key, arr in outs.items():
+        arr = np.asarray(arr)
+        if arr.ndim == 3:  # e.g. BGImg: single image
+            im = ((arr * 0.5 + 0.5).clip(0, 1) * 255).astype(np.uint8)
+            im = cv2.resize(im, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
+            cv2.imwrite(os.path.join(out_dir, f"{key}.png"),
+                        cv2.cvtColor(im, cv2.COLOR_RGB2BGR))
+            continue
+        kdir = os.path.join(out_dir, key)
+        os.makedirs(kdir, exist_ok=True)
+        for t in range(arr.shape[0]):
+            fr = arr[t]
+            if "Img" in key:
+                fr = (fr * 0.5 + 0.5).clip(0, 1)
+            else:  # alpha maps
+                fr = fr.clip(0, 1)
+                if fr.shape[-1] == 1:
+                    fr = np.repeat(fr, 3, -1)
+            im = (fr * 255).astype(np.uint8)
+            im = cv2.resize(im, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
+            cv2.imwrite(os.path.join(kdir, f"{t:06d}.png"),
+                        cv2.cvtColor(im, cv2.COLOR_RGB2BGR))
+        mp4 = os.path.join(out_dir, f"{key}_{name}.mp4")
+        try:
+            subprocess.run(
+                ["ffmpeg", "-loglevel", "quiet", "-framerate", "30", "-i",
+                 os.path.join(kdir, "%06d.png"), "-y", mp4], check=True)
+        except (FileNotFoundError, subprocess.CalledProcessError):
+            # no ffmpeg in this environment: cv2 VideoWriter fallback
+            vw = cv2.VideoWriter(mp4, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                                 (out_w, out_h))
+            for t in range(arr.shape[0]):
+                vw.write(cv2.imread(os.path.join(kdir, f"{t:06d}.png")))
+            vw.release()
+    return out_dir
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("image")
+    p.add_argument("flow")
+    p.add_argument("save_dir")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--name", default=None)
+    p.add_argument("--W", type=int, default=256)
+    p.add_argument("--n-frames", type=int, default=60)
+    p.add_argument("--speed", type=float, default=1.0)
+    p.add_argument("--align", default="None")
+    p.add_argument("--rawsize", action="store_true")
+    p.add_argument("--rotate", type=float, default=0.0)
+    p.add_argument("--flow-scale", type=float, default=1.0)
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--alpha-region", default=None)
+    a = p.parse_args(argv)
+    out = render_scene(
+        a.image, a.flow, a.save_dir, ckpt=a.ckpt, name=a.name, W=a.W,
+        n_frames=a.n_frames, speed=a.speed, align_json=a.align,
+        rawsize=a.rawsize, rotate=a.rotate, flow_scale=a.flow_scale,
+        dtype=a.dtype, alpha_region_path=a.alpha_region)
+    print(f"rendered to {out}")
+
+
+if __name__ == "__main__":
+    main()

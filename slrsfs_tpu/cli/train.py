@@ -1,0 +1,242 @@
+"""Training driver.
+
+Equivalent of reference ``train_animating.py`` (+ the BG/SLR stage variants):
+epochs of ≤``steps_per_epoch`` iterations, validation each epoch on the val
+split, tensorboard scalars + image grids, best-checkpoint tracking on the
+validation Perceptual loss (train_animating.py:350-357), atomic checkpoints
+via orbax, and SLURM-style preemption handling (SIGUSR1 sets a flag polled
+every iteration; the driver checkpoints and requeues —
+train_animating.py:27-83).
+
+    python -m slrsfs_tpu.cli.train --data-root DATA --out RUNDIR \
+        --model-type softmax_splating [--slr-stage3] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_SIGNAL_RECEIVED = False
+
+
+def _handle_preempt(signum, frame):
+    global _SIGNAL_RECEIVED
+    _SIGNAL_RECEIVED = True
+    print("preemption signal received; will checkpoint and requeue",
+          file=sys.stderr)
+
+
+def trigger_job_requeue():
+    """scontrol requeue $SLURM_JOB_ID (reference train_animating.py:49-75)."""
+    job_id = os.environ.get("SLURM_JOB_ID")
+    if job_id and os.environ.get("SLURM_PROCID", "0") == "0":
+        subprocess.run(["scontrol", "requeue", job_id], check=False)
+
+
+def _to_device_batch(batch):
+    out = {}
+    for k, v in batch.items():
+        if k == "images":
+            out[k] = [jnp.asarray(x) for x in v]
+        elif k == "isval":
+            continue
+        else:
+            out[k] = jnp.asarray(v)
+    return out
+
+
+def build(opt, slr: bool):
+    from slrsfs_tpu.engine.trainer import Trainer
+    from slrsfs_tpu.models.baseline import BaselineTrainable
+    from slrsfs_tpu.models.slr import SLRTrainable, slr_extra_losses
+
+    if slr:
+        model = SLRTrainable(opt)
+        return model, Trainer(opt, model, extra_losses_fn=slr_extra_losses)
+    model = BaselineTrainable(opt)
+    return model, Trainer(opt, model)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--model-type", default="softmax_splating")
+    p.add_argument("--dataset", default=None)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--W", type=int, default=256)
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--niter", type=int, default=100)
+    p.add_argument("--niter-decay", type=int, default=10)
+    p.add_argument("--steps-per-epoch", type=int, default=500)
+    p.add_argument("--val-steps", type=int, default=8)
+    p.add_argument("--lr-g", type=float, default=5e-4 / 2)
+    p.add_argument("--lr-d", type=float, default=1e-3 * 2)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-from", default=None,
+                   help="reference .pth to warm-start from")
+    p.add_argument("--vgg-pth", default=None,
+                   help="torchvision vgg19 state_dict for the content loss")
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+
+    from slrsfs_tpu.config import Options
+    from slrsfs_tpu.data.datasets import get_dataset
+    from slrsfs_tpu.io.checkpoint import restore_native, save_native
+
+    slr = a.model_type == "softmax_splating_2layers_alpha_seperate"
+    opt = Options(
+        model_type=a.model_type,
+        dataset=a.dataset or ("eulerian_data_balanced1_mask" if slr
+                              else "eulerian_data"),
+        batch_size=a.batch_size, W=a.W, ngf=a.ngf,
+        niter=a.niter, niter_decay=a.niter_decay,
+        lr_g=a.lr_g, lr_d=a.lr_d, seed=a.seed,
+        MVloss=1.0 if slr else 0.0,
+        use_alpha0_as_blending_weight=slr,
+        ATVloss=0.3 if slr else 0.0, ADCloss=1.0 if slr else 0.0,
+        FluidRegionloss=3.0 if slr else 0.0,
+        RockRegionloss=30.0 if slr else 0.0,
+        RockRegionlossDecay=20.0 if slr else 0.0,
+    )
+    os.makedirs(a.out, exist_ok=True)
+    with open(os.path.join(a.out, "options.json"), "w") as f:
+        f.write(opt.to_json())
+
+    signal.signal(signal.SIGUSR1, _handle_preempt)
+    halt_file = os.path.join(a.out, "HALT")
+    if os.path.exists(halt_file):
+        print("HALT marker present; training already finished")
+        return
+
+    from tensorboardX import SummaryWriter
+
+    writer = SummaryWriter(os.path.join(a.out, "runs"))
+
+    model, trainer = build(opt, slr)
+    if a.vgg_pth:
+        import torch
+
+        from slrsfs_tpu.nn.vgg import import_vgg19
+
+        trainer.load_vgg(import_vgg19(
+            torch.load(a.vgg_pth, map_location="cpu", weights_only=False)))
+
+    dataset = get_dataset(opt, a.data_root, split="train", seed=a.seed)
+    example = next(dataset.batches(a.batch_size, num_batches=1))
+    example = _to_device_batch(example)
+    state = trainer.init_state(jax.random.PRNGKey(a.seed), example)
+
+    start_epoch = 0
+    best_perceptual = float("inf")
+    ckpt_dir = os.path.join(a.out, "ckpt")
+    if a.resume and os.path.exists(ckpt_dir + ".meta.json"):
+        state, meta = restore_native(ckpt_dir, jax.tree.map(np.asarray, state))
+        start_epoch = meta.get("epoch", 0) + 1
+        best_perceptual = meta.get("best_perceptual", best_perceptual)
+        print(f"resumed from epoch {meta.get('epoch')}")
+    elif a.init_from:
+        from slrsfs_tpu.io.checkpoint import load_torch_checkpoint
+
+        ckpt = load_torch_checkpoint(a.init_from)
+        sd = ckpt.get("state_dict", ckpt)
+        if slr:
+            from slrsfs_tpu.io.checkpoint import import_slr_model
+
+            variables = import_slr_model(sd, opt)
+        else:
+            from slrsfs_tpu.io.checkpoint import import_baseline_model
+
+            variables = import_baseline_model(sd, opt)
+        state = state.replace(
+            g_params=variables["params"],
+            g_stats=variables["batch_stats"],
+            g_spectral=variables["spectral"],
+        )
+        from slrsfs_tpu.io.checkpoint import import_vgg_from_checkpoint
+
+        vgg = import_vgg_from_checkpoint(sd)
+        if vgg is not None:
+            trainer.load_vgg(vgg)
+            print("harvested pretrained VGG19 from the init checkpoint")
+
+    train_step = jax.jit(trainer.make_train_step())
+    eval_step = jax.jit(trainer.make_eval_step())
+
+    rng = jax.random.PRNGKey(a.seed + 1)
+    total_epochs = a.niter + a.niter_decay
+    for epoch in range(start_epoch, total_epochs):
+        dataset.totrain(epoch)
+        t0 = time.time()
+        running = {}
+        for it, batch in enumerate(
+                dataset.batches(a.batch_size, num_batches=a.steps_per_epoch)):
+            rng, step_rng = jax.random.split(rng)
+            state, logs = train_step(state, _to_device_batch(batch), step_rng)
+            for k, v in logs.items():
+                running.setdefault(k, []).append(float(v))
+            gstep = epoch * a.steps_per_epoch + it
+            if it % 100 == 0:
+                msg = " ".join(f"{k}={np.mean(v):.4f}"
+                               for k, v in sorted(running.items())
+                               if k in ("Total Loss", "L1", "Perceptual",
+                                        "psnr", "GAN"))
+                print(f"epoch {epoch} it {it}: {msg}", flush=True)
+            for k, v in logs.items():
+                writer.add_scalar(f"train/{k}", float(v), gstep)
+            if _SIGNAL_RECEIVED:
+                save_native(ckpt_dir, state, opt, epoch=epoch - 1,
+                            extra={"best_perceptual": best_perceptual})
+                trigger_job_requeue()
+                return
+
+        # validation (reference train loop val(): toval split, same pass)
+        dataset.toval(epoch)
+        val_logs = {}
+        for it, batch in enumerate(
+                dataset.batches(a.batch_size, num_batches=a.val_steps)):
+            rng, step_rng = jax.random.split(rng)
+            losses, pred = eval_step(state, _to_device_batch(batch), step_rng)
+            for k, v in losses.items():
+                val_logs.setdefault(k, []).append(float(v))
+        val_means = {k: float(np.mean(v)) for k, v in val_logs.items()}
+        for k, v in val_means.items():
+            writer.add_scalar(f"val/{k}", v, epoch)
+        # image grids for pred-dict keys (reference train_animating.py:101-138)
+        imgs = {k: v for k, v in pred.items()
+                if hasattr(v, "ndim") and v.ndim == 4 and v.shape[-1] in (1, 3)}
+        for k, v in imgs.items():
+            grid = np.asarray(v[0])
+            if "Img" in k:
+                grid = grid * 0.5 + 0.5
+            writer.add_image(f"val/{k}", np.clip(grid, 0, 1), epoch,
+                             dataformats="HWC")
+
+        save_native(ckpt_dir, state, opt, epoch=epoch,
+                    extra={"best_perceptual": best_perceptual,
+                           "val": val_means})
+        perceptual = val_means.get("Perceptual", val_means.get("Total Loss", 0))
+        if perceptual < best_perceptual:
+            best_perceptual = perceptual
+            save_native(ckpt_dir + "_best", state, opt, epoch=epoch,
+                        extra={"best_perceptual": best_perceptual})
+        print(f"epoch {epoch} done in {time.time()-t0:.0f}s; "
+              f"val {val_means}", flush=True)
+
+    with open(halt_file, "w") as f:
+        f.write("done")
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Checkpoint I/O: reference .pth import + native orbax checkpoints.
+
+Reference checkpoint layout (SURVEY.md §5.4; ``train_animating.py:243-261``):
+``{state_dict, optimizerG, [optimizerD], epoch, opts}`` where state_dict keys
+carry ``model.module.`` (BaseModel + DataParallel) prefixes; hyperparameters
+travel INSIDE the checkpoint as a pickled argparse namespace and are restored
+at inference (``test_baseline_4eval.py:124-127``).
+
+Import surgery supported (reference key maps):
+* ``xyzs`` / ``ones`` / ``Z_predictor`` keys dropped (train_animating.py:416-423)
+* ``motion_predictor`` → ``motion_regressor.motion_predictor``
+  (train_animating_fixmotion.py:438-446)
+* the pretrained VGG19 of the loss function is harvested from
+  ``loss_function.losses.*.model.slice*`` so perceptual loss/eval run at
+  parity without torchvision.
+
+Native checkpoints use orbax (atomic finalization replaces the reference's
+tmp-file + os.rename dance) and store the Options dataclass as JSON alongside.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+from slrsfs_tpu.config import Options
+from slrsfs_tpu.io.torch_import import (
+    KeyReader,
+    conv_params,
+    import_decoder_plain,
+    import_decoder_pconv2,
+    import_encoder,
+    split_collections,
+    strip_module_prefix,
+)
+
+
+# ---------------------------------------------------------------------------
+# Reference .pth → flax
+# ---------------------------------------------------------------------------
+
+def load_torch_checkpoint(path: str) -> Dict[str, Any]:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def opts_from_namespace(ns) -> Options:
+    """argparse.Namespace (pickled in the checkpoint) → typed Options."""
+    known = {f.name for f in dataclasses.fields(Options)}
+    kw = {}
+    for k, v in vars(ns).items():
+        if k in known:
+            if isinstance(v, list):
+                v = tuple(v)
+            kw[k] = v
+    return Options(**kw)
+
+
+_DROP_KEYS = ("xyzs", "ones", "Z_predictor", "min_z", "max_z", "discretized_zs")
+
+
+def _clean_state_dict(sd: Mapping) -> Dict:
+    sd = strip_module_prefix(sd, prefixes=("model.", "module."))
+    out = {}
+    for k, v in sd.items():
+        if any(part in _DROP_KEYS for part in k.split(".")):
+            continue
+        # fix-motion stage remap (train_animating_fixmotion.py:438-446)
+        if k.startswith("motion_predictor."):
+            k = "motion_regressor." + k
+        out[k] = v
+    return out
+
+
+def import_baseline_model(sd: Mapping, opt: Options) -> Dict[str, Dict]:
+    """state_dict → BaselineModel variables ({'params','batch_stats','spectral'})."""
+    r = KeyReader(_clean_state_dict(sd))
+    tree = {
+        "encoder": import_encoder(r, "encoder", opt, in_channels=3, with_z=True),
+        "projector": import_decoder_pconv2(r, "projector", opt),
+    }
+    return split_collections(tree)
+
+
+def import_slr_model(sd: Mapping, opt: Options) -> Dict[str, Dict]:
+    """state_dict → SLRModel variables."""
+    from slrsfs_tpu.models.slr import _alpha_opt
+
+    r = KeyReader(_clean_state_dict(sd))
+    a_opt = _alpha_opt(opt)
+    tree = {
+        "encoder": import_encoder(r, "encoder", opt, in_channels=3, with_z=True),
+        "projector": import_decoder_pconv2(r, "projector", opt),
+        "net_bg": import_decoder_plain(r, "net_bg", opt,
+                                       model_type=opt.bg_refine_model_type),
+        "net_alpha_encoder": import_encoder(
+            r, "net_alpha_encoder", a_opt, in_channels=3, with_z=False),
+        "net_alpha_decoder": import_decoder_pconv2(r, "net_alpha_decoder", a_opt),
+    }
+    return split_collections(tree)
+
+
+def import_bg_model(sd: Mapping, opt: Options) -> Dict[str, Dict]:
+    r = KeyReader(_clean_state_dict(sd))
+    tree = {"net_bg": import_decoder_plain(r, "net_bg", opt,
+                                           model_type=opt.bg_refine_model_type)}
+    return split_collections(tree)
+
+
+def _import_nlayer_d(r: KeyReader, prefix: str, opt: Options) -> Dict:
+    out = {
+        "model0_conv": conv_params(r, f"{prefix}.model0.0", spectral=False),
+    }
+    for n in range(1, opt.n_layers_D):
+        out[f"model{n}_conv"] = conv_params(
+            r, f"{prefix}.model{n}.0.0", spectral=True, bias=False)
+    out[f"model{opt.n_layers_D}_conv"] = conv_params(
+        r, f"{prefix}.model{opt.n_layers_D}.0", spectral=False)
+    return out
+
+
+def import_discriminator(sd: Mapping, opt: Options,
+                         prefix: str = "netD.netD") -> Dict[str, Dict]:
+    """MultiscaleDiscriminator import (reference keys
+    ``netD.netD.discriminator_{i}.model{n}...``; the norm wrapper nests the
+    spectral conv as ``.0.0``)."""
+    r = KeyReader(strip_module_prefix(sd, prefixes=("model.", "module.")))
+    tree = {}
+    for i in range(opt.num_D):
+        tree[f"discriminator_{i}"] = _import_nlayer_d(
+            r, f"{prefix}.discriminator_{i}", opt)
+    return split_collections(tree)
+
+
+def import_vgg_from_checkpoint(sd: Mapping) -> Optional[Dict]:
+    """Harvest the pretrained VGG19 from the checkpoint's loss-function keys
+    (``loss_function.losses.{i}.model.slice{s}.{j}.weight``) → VGG19Features
+    params. Returns None if absent."""
+    from slrsfs_tpu.nn.vgg import _CONVS
+
+    sd = strip_module_prefix(sd, prefixes=("model.", "module."))
+    # find any loss_function prefix that has VGG slices
+    cand = [k for k in sd if "slice1.0.weight" in k]
+    if not cand:
+        return None
+    base = cand[0].rsplit("slice1.0.weight", 1)[0]
+    # torchvision layer index -> (slice number, in-slice index)
+    slice_ranges = [(1, 0, 2), (2, 2, 7), (3, 7, 12), (4, 12, 21), (5, 21, 30)]
+    params = {}
+    for li, _ch in _CONVS:
+        for s, lo, hi in slice_ranges:
+            if lo <= li < hi:
+                key = f"{base}slice{s}.{li}.weight"
+                w = sd[key]
+                b = sd[f"{base}slice{s}.{li}.bias"]
+                if hasattr(w, "detach"):
+                    w = w.detach().cpu().numpy()
+                    b = b.detach().cpu().numpy()
+                params[f"conv_{li}"] = {
+                    "kernel": np.array(w, np.float32).transpose(2, 3, 1, 0),
+                    "bias": np.array(b, np.float32),
+                }
+                break
+    return {"params": params}
+
+
+def import_motion_model(sd: Mapping, opt: Options) -> Dict[str, Dict]:
+    """SPADEUnetMaskMotion / UnetMotion state_dict → MotionRegressor variables."""
+    r = KeyReader(_clean_state_dict(sd))
+    p = "motion_regressor.motion_predictor" if any(
+        k.startswith("motion_regressor.") for k in r.sd
+    ) else "motion_predictor"
+    spade = "SPADE" in opt.model_type
+    tree: Dict = {}
+    for i in range(1, 9):
+        tree[f"conv{i}"] = conv_params(r, f"{p}.conv{i}", spectral=True)
+        tree[f"dconv{i}"] = conv_params(r, f"{p}.dconv{i}", spectral=True)
+    if spade:
+        names = (["spade_layer", "spade_layer2_0", "spade_layer2_1",
+                  "spade_layer4_0", "spade_layer4_1"]
+                 + [f"spade_layer8_{i}" for i in range(8)])
+        for n in names:
+            tree[n] = {
+                "mlp_shared": conv_params(r, f"{p}.{n}.mlp_shared.0", spectral=False),
+                "mlp_gamma": conv_params(r, f"{p}.{n}.mlp_gamma", spectral=False),
+                "mlp_beta": conv_params(r, f"{p}.{n}.mlp_beta", spectral=False),
+            }
+    cols = split_collections({"motion_predictor": tree})
+    return cols
+
+
+def import_checkpoint(path: str, model_type: Optional[str] = None):
+    """Full import: returns (variables, Options) for the checkpointed model.
+
+    model_type override follows the reference pattern of reading opts from
+    the checkpoint then adjusting (test_baseline_4eval.py:124-127)."""
+    ckpt = load_torch_checkpoint(path)
+    opt = opts_from_namespace(ckpt["opts"]) if "opts" in ckpt else Options()
+    opt = opt.replace(bn_noise_misc=True)
+    if model_type:
+        opt = opt.replace(model_type=model_type)
+    sd = ckpt["state_dict"] if "state_dict" in ckpt else ckpt
+    if opt.model_type == "softmax_splating":
+        variables = import_baseline_model(sd, opt)
+    elif opt.model_type == "softmax_splating_2layers_alpha_seperate":
+        variables = import_slr_model(sd, opt)
+    elif opt.model_type in ("SPADE_unet_mask_motion", "unet_motion"):
+        variables = import_motion_model(sd, opt)
+    elif opt.model_type == "bg":
+        variables = import_bg_model(sd, opt)
+    else:
+        raise ValueError(opt.model_type)
+    return variables, opt
+
+
+# ---------------------------------------------------------------------------
+# Native (orbax) checkpoints
+# ---------------------------------------------------------------------------
+
+def save_native(path: str, state, opt: Options, epoch: int = 0,
+                extra: Optional[Dict] = None):
+    """Atomic orbax save of a TrainState (+ Options JSON + metadata)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    meta = {"opts": json.loads(opt.to_json()), "epoch": epoch}
+    if extra:
+        meta.update(extra)
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def restore_native(path: str, abstract_state):
+    """Restore a TrainState saved by save_native; returns (state, meta)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(path, abstract_state)
+    meta = {}
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            meta = json.load(f)
+    return state, meta

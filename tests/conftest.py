@@ -22,3 +22,53 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+import json
+import numpy as np
+import pytest
+from PIL import Image
+
+from slrsfs_tpu.data.tensors import save_motion
+from slrsfs_tpu.utils.flow_viz import write_flo
+
+
+@pytest.fixture(scope="session")
+def fixture_root(tmp_path_factory):
+    """Two tiny synthetic scenes in the reference on-disk layout."""
+    cv2 = pytest.importorskip("cv2")
+    root = tmp_path_factory.mktemp("liquid")
+    H, W, N = 96, 160, 12
+    for split in ("train", "validation"):
+        os.makedirs(root / split, exist_ok=True)
+    os.makedirs(root / "avr_image", exist_ok=True)
+    os.makedirs(root / "rock_label", exist_ok=True)
+    rng = np.random.default_rng(0)
+    for split, scenes in (("train", ["00001_00000", "00002_00000"]),
+                          ("validation", ["00980_00000"])):
+        for scene in scenes:
+            path = str(root / split / f"{scene}_gt.mp4")
+            vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                                 (W, H))
+            base = rng.integers(0, 255, (H, W, 3), np.uint8)
+            for t in range(N):
+                frame = np.roll(base, shift=t, axis=1)
+                vw.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+            vw.release()
+            motion = np.zeros((H, W, 2), np.float32)
+            motion[H // 2 :, :, 0] = 1.0
+            save_motion(str(root / split / f"{scene}_motion.npz"), motion)
+            write_flo(str(root / split / f"{scene}_sparse_motion.flo"),
+                      motion * 0.5)
+            Image.fromarray(base).save(root / "avr_image" / f"{scene}.png")
+    # one rock label
+    label = {
+        "width": W, "height": H,
+        "step_1": {"result": [{"pointList": [
+            {"x": 5, "y": 5}, {"x": 40, "y": 5}, {"x": 40, "y": 30},
+            {"x": 5, "y": 30}]}]},
+    }
+    with open(root / "rock_label" / "00001_00000.png.json", "w") as f:
+        json.dump(label, f)
+    return str(root)
+

@@ -1,0 +1,167 @@
+"""Checkpoint import: reference-shaped .pth → flax variables, opts
+restoration, orbax roundtrip."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from slrsfs_tpu.config import Options
+from slrsfs_tpu.io.checkpoint import (
+    import_checkpoint,
+    import_discriminator,
+    opts_from_namespace,
+    restore_native,
+    save_native,
+)
+from slrsfs_tpu.models.baseline import BaselineModel
+from slrsfs_tpu.nn.archs import get_resnet_arch
+from test_models_parity import (
+    _warmup,
+    make_torch_decoder_pconv2,
+    make_torch_encoder_with_z,
+)
+from torch_ref import ref_opt, to_nchw, to_nhwc
+
+OPT = Options(ngf=16)
+
+
+def _fake_reference_checkpoint(tmpdir):
+    """Assemble a reference-shaped baseline checkpoint from torch modules."""
+    topt = ref_opt()
+    arch = get_resnet_arch(OPT.refine_model_type, OPT, 3)
+    enc = make_torch_encoder_with_z(arch, topt)
+    dec = make_torch_decoder_pconv2(arch, topt)
+    enc.train(); dec.train()
+    _warmup(enc.gblocks, (2, 3, 32, 32))
+
+    def run_dec(t):
+        h, mk = dec.eblocks[0](t, (t != 0).float())
+        for blk in list(dec.eblocks)[1:]:
+            h, mk = blk(h, mk)
+        return h
+
+    _warmup(run_dec, (2, 64, 32, 32))
+    enc.eval(); dec.eval()
+
+    sd = {}
+    for k, v in enc.state_dict().items():
+        sd[f"model.module.encoder.{k}"] = v
+    for k, v in dec.state_dict().items():
+        sd[f"model.module.projector.{k}"] = v
+    # vestigial keys the importer must drop (train_animating.py:416-423)
+    sd["model.module.xyzs"] = torch.zeros(1, 3, 4)
+    sd["model.module.ones"] = torch.ones(1)
+
+    ns = argparse.Namespace(
+        model_type="softmax_splating", ngf=16, W=32, out_channel=65,
+        refine_model_type=OPT.refine_model_type, train_Z=True,
+        use_softmax_splatter=True, norm_G="sync:spectral_batch",
+        pconv="pconv_pbn_woresbias", losses=["1.0_l1", "10.0_content"],
+        some_unknown_flag=123,
+    )
+    path = os.path.join(tmpdir, "fake_baseline.pth")
+    torch.save({"state_dict": sd, "opts": ns, "epoch": 7}, path)
+    return path, enc, dec
+
+
+def test_import_checkpoint_baseline(tmp_path):
+    path, enc, dec = _fake_reference_checkpoint(str(tmp_path))
+    variables, opt = import_checkpoint(path)
+    assert opt.model_type == "softmax_splating"
+    assert opt.ngf == 16 and opt.W == 32
+    assert opt.bn_noise_misc  # forced deterministic for inference
+    assert opt.losses == ("1.0_l1", "10.0_content")
+
+    rng = np.random.default_rng(0)
+    model = BaselineModel(opt)
+    img = (rng.standard_normal((1, 32, 32, 3)) * 0.25).astype(np.float32)
+
+    fs, z = model.apply(variables, jnp.asarray(img), method="encode")
+    with torch.no_grad():
+        out = enc.gblocks(to_nchw(img))
+    np.testing.assert_allclose(np.asarray(fs), to_nhwc(out[:, :-1]),
+                               rtol=3e-4, atol=3e-4)
+
+    feats = (rng.standard_normal((1, 32, 32, 64)) * 0.3).astype(np.float32)
+    got = model.apply(variables, jnp.asarray(feats), method="decode")
+    with torch.no_grad():
+        xt = to_nchw(feats)
+        h, mk = dec.eblocks[0](xt, (xt != 0).float())
+        for blk in list(dec.eblocks)[1:]:
+            h, mk = blk(h, mk)
+        want = torch.tanh(h)
+    np.testing.assert_allclose(np.asarray(got), to_nhwc(want),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_import_discriminator(tmp_path):
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from models.networks.discriminators import MultiscaleDiscriminator as TorchD
+
+    topt = argparse.Namespace(
+        ndf=16, norm_D="spectralinstance", output_nc=3, n_layers_D=4,
+        no_ganFeat_loss=False, isTrain=False, num_D=2, netD_subarch="n_layer",
+        lr=1e-3,
+    )
+    td = TorchD(topt)
+    td.eval()
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((1, 64, 64, 3)) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        want = td(to_nchw(x))
+
+    sd = {f"netD.netD.{k}": v for k, v in td.state_dict().items()}
+    opt = Options(ndf=16)
+    variables = import_discriminator(sd, opt)
+
+    from slrsfs_tpu.nn.discriminators import MultiscaleDiscriminator
+
+    m = MultiscaleDiscriminator(opt)
+    got = m.apply(variables, jnp.asarray(x), False)
+    assert len(got) == 2
+    for scale in range(2):
+        for layer in range(5):
+            np.testing.assert_allclose(
+                np.asarray(got[scale][layer]),
+                to_nhwc(want[scale][layer]),
+                rtol=1e-3, atol=1e-3,
+            )
+
+
+def test_opts_namespace_mapping():
+    ns = argparse.Namespace(ngf=32, W=768, unknown_thing="x",
+                            losses=["2.0_l1"], niter=5)
+    opt = opts_from_namespace(ns)
+    assert opt.ngf == 32 and opt.W == 768 and opt.niter == 5
+    assert opt.losses == ("2.0_l1",)
+
+
+def test_orbax_roundtrip(tmp_path):
+    from slrsfs_tpu.engine.trainer import Trainer
+    from slrsfs_tpu.models.baseline import BaselineTrainable
+    from test_trainer import _tiny_batch
+
+    rng = np.random.default_rng(3)
+    opt = Options(ngf=16, W=32, batch_size=2)
+    model = BaselineTrainable(opt, train_max_steps=4)
+    trainer = Trainer(opt, model, steps_per_epoch=10)
+    batch = _tiny_batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    path = str(tmp_path / "ckpt1")
+    save_native(path, state, opt, epoch=3, extra={"best_loss": 0.5})
+    restored, meta = restore_native(path, jax.tree.map(np.asarray, state))
+    assert meta["epoch"] == 3 and meta["best_loss"] == 0.5
+    assert meta["opts"]["ngf"] == 16
+    l0 = jax.tree.leaves(state.g_params)[0]
+    l1 = jax.tree.leaves(restored.g_params)[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))

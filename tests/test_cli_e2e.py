@@ -1,0 +1,83 @@
+"""End-to-end CLI tests on the synthetic fixture: render → eval → train."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from conftest import fixture_root  # noqa: F401
+
+
+def test_render_then_eval(fixture_root, tmp_path):
+    from slrsfs_tpu.cli.render import render_scene
+    from slrsfs_tpu.eval.eval_claw import eval_claw_dir
+
+    # input image = frame 0 of the GT video; motion from the fixture
+    scene = "00001_00000"
+    from slrsfs_tpu.data.video import VideoReader
+
+    vr = VideoReader(os.path.join(fixture_root, "train", f"{scene}_gt.mp4"))
+    img_path = str(tmp_path / f"{scene}_input.jpg")
+    Image.fromarray(vr[0]).save(img_path)
+    vr.close()
+
+    save_dir = str(tmp_path / "out")
+    out = render_scene(
+        img_path,
+        os.path.join(fixture_root, "train", f"{scene}_motion.npz"),
+        save_dir, ckpt=None, name=scene, W=32, n_frames=12,
+        decode_batch=4,
+    )
+    pred_dir = os.path.join(out, "PredImg")
+    frames = sorted(os.listdir(pred_dir))
+    assert len(frames) == 12 and frames[0] == "000000.png"
+    im = np.asarray(Image.open(os.path.join(pred_dir, "000000.png")))
+    # output at half the input size (reference non-rawsize convention)
+    assert im.shape == (48, 80, 3)
+
+    # CLAW GT layout names videos <scene>.mp4 (eval_CLAW.py:66-69)
+    gt_dir = str(tmp_path / "gt")
+    os.makedirs(gt_dir)
+    os.symlink(os.path.join(fixture_root, "train", f"{scene}_gt.mp4"),
+               os.path.join(gt_dir, f"{scene}.mp4"))
+    res = eval_claw_dir(save_dir, gt_dir,
+                        n_frames=12,
+                        out_json=str(tmp_path / "metric.json"))
+    assert scene + "_gt" not in res["PSNR"]  # scene key is the plain name
+    assert scene in res["PSNR"], res["PSNR"].keys()
+    assert np.isfinite(res["TotalPSNR"]) and np.isfinite(res["TotalSSIM"])
+    with open(tmp_path / "metric.json") as f:
+        on_disk = json.load(f)
+    assert on_disk["TotalPSNR"] == res["TotalPSNR"]
+
+
+def test_render_flow_editing(fixture_root, tmp_path):
+    from slrsfs_tpu.cli.render import edit_flow
+
+    flow = np.zeros((4, 4, 2), np.float32)
+    flow[..., 0] = 2.0
+    rot = edit_flow(flow, rotate_deg=90.0, scale=0.5)
+    np.testing.assert_allclose(rot[..., 0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(rot[..., 1], 1.0, atol=1e-6)
+
+
+def test_train_cli_one_epoch(fixture_root, tmp_path):
+    from slrsfs_tpu.cli import train as train_cli
+
+    out = str(tmp_path / "run")
+    train_cli.main([
+        "--data-root", fixture_root, "--out", out,
+        "--model-type", "softmax_splating",
+        "--batch-size", "2", "--W", "32", "--ngf", "16",
+        "--niter", "1", "--niter-decay", "0",
+        "--steps-per-epoch", "2", "--val-steps", "1",
+    ])
+    assert os.path.exists(os.path.join(out, "HALT"))
+    assert os.path.exists(os.path.join(out, "ckpt.meta.json"))
+    with open(os.path.join(out, "ckpt.meta.json")) as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 0
+    assert "val" in meta and np.isfinite(meta["val"]["Total Loss"])
+    assert os.path.exists(os.path.join(out, "options.json"))

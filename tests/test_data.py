@@ -1,0 +1,114 @@
+"""Data pipeline: synthetic fixture scenes through every loader variant."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from slrsfs_tpu.config import Options
+from slrsfs_tpu.data.datasets import LiquidDataset, get_dataset
+from slrsfs_tpu.data.tensors import load_compressed_tensor, motion_to_hw2, save_motion
+from slrsfs_tpu.data.video import VideoReader, compute_mean_video
+from slrsfs_tpu.utils.flow_viz import flow_to_image, read_flo, write_flo
+
+
+from conftest import fixture_root  # noqa: F401
+
+
+def test_video_reader(fixture_root):
+    vr = VideoReader(os.path.join(fixture_root, "train", "00001_00000_gt.mp4"))
+    assert len(vr) == 12
+    f0 = vr[0]
+    f5 = vr[5]
+    assert f0.shape == (96, 160, 3) and f0.dtype == np.uint8
+    assert not np.array_equal(f0, f5)
+    f2 = vr[2]  # backward seek via cache
+    assert f2.shape == (96, 160, 3)
+    vr.close()
+
+    mean = compute_mean_video(
+        os.path.join(fixture_root, "train", "00001_00000_gt.mp4"))
+    assert mean.shape == (96, 160, 3)
+
+
+def test_flo_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    flow = rng.standard_normal((8, 10, 2)).astype(np.float32)
+    p = str(tmp_path / "a.flo")
+    write_flo(p, flow)
+    np.testing.assert_array_equal(read_flo(p), flow)
+    img = flow_to_image(flow)
+    assert img.shape == (8, 10, 3) and img.dtype == np.uint8
+
+
+def test_motion_tensor_formats(tmp_path):
+    import torch
+
+    flow = np.random.default_rng(2).standard_normal((1, 2, 8, 10)).astype(np.float32)
+    p = str(tmp_path / "m.pth")
+    torch.save(torch.from_numpy(flow), p)
+    got = motion_to_hw2(load_compressed_tensor(p))
+    assert got.shape == (8, 10, 2)
+    np.testing.assert_allclose(got[..., 0], flow[0, 0])
+
+
+def test_baseline_dataset(fixture_root):
+    opt = Options(W=64, dataset="eulerian_data")
+    ds = get_dataset(opt, fixture_root, split="train", seed=3)
+    s = ds[0]
+    assert len(s["images"]) == 3
+    assert s["images"][0].shape == (64, 64, 3)
+    assert s["images"][0].min() >= -1.0 and s["images"][0].max() <= 1.0
+    assert s["motions"].shape == (64, 64, 2)
+    i0, i1, i2 = s["index"]
+    assert 0 <= i0 <= i1 <= i2 < 12
+
+    # batching
+    b = next(ds.batches(batch_size=2, num_batches=1))
+    assert b["images"][0].shape == (2, 64, 64, 3)
+    assert b["motions"].shape == (2, 64, 64, 2)
+
+    # val mode: deterministic resize path
+    ds.toval(0)
+    v = ds[0]
+    assert v["images"][0].shape == (64, 64, 3)
+
+
+def test_mask_dataset(fixture_root):
+    opt = Options(W=64, dataset="eulerian_data_balanced1_mask", MVloss=1.0)
+    ds = get_dataset(opt, fixture_root, split="train", seed=4)
+    s = ds[0]
+    assert s["mask_rock"].shape == (64, 64, 1)
+    assert s["mean_video"].shape == (64, 64, 3)
+    assert set(np.unique(s["mask_rock"])).issubset({0.0, 1.0})
+
+
+def test_hint_dataset(fixture_root):
+    opt = Options(W=64, dataset="eulerian_data_hint")
+    ds = get_dataset(opt, fixture_root, split="train", seed=5)
+    s = ds[0]
+    assert s["hints"].shape == (64, 64, 2)
+
+
+def test_bg_dataset(fixture_root):
+    opt = Options(W=64, dataset="eulerian_data_bg", MVloss=1.0)
+    ds = get_dataset(opt, fixture_root, split="train", seed=6)
+    s = ds[0]
+    assert len(s["images"]) == 2
+    assert s["mean_video"].shape == (64, 64, 3)
+
+
+def test_flow_flip_negates_x(fixture_root):
+    """h-flip must negate the flow x channel (eulerian_data.py:92-94)."""
+    opt = Options(W=64, dataset="eulerian_data")
+    ds = get_dataset(opt, fixture_root, split="train", seed=1)
+    flips = set()
+    xs = []
+    for i in range(8):
+        s = ds[i]
+        x_mean = s["motions"][..., 0].mean()
+        xs.append(x_mean)
+    # motion is +1 in the bottom half pre-transform; flipped samples are ~-x
+    assert any(x > 0.1 for x in xs) and any(x < -0.1 for x in xs), xs
