@@ -58,12 +58,23 @@ def _to_device_batch(batch):
 def build(opt, slr: bool):
     from slrsfs_tpu.engine.trainer import Trainer
     from slrsfs_tpu.models.baseline import BaselineTrainable
-    from slrsfs_tpu.models.slr import SLRTrainable, slr_extra_losses
+    from slrsfs_tpu.models.motion import MotionRegressor
+    from slrsfs_tpu.models.slr import (
+        BackgroundModel,
+        SLRTrainable,
+        slr_extra_losses,
+    )
 
-    if slr:
+    if opt.model_type == "bg":  # stage 2 (train_animating_BG.py)
+        model = BackgroundModel(opt)
+        return model, Trainer(opt, model, task="bg")
+    if opt.model_type in ("SPADE_unet_mask_motion", "unet_motion"):
+        model = MotionRegressor(opt)  # motion GAN (train_motion_unet.py)
+        return model, Trainer(opt, model, task="motion")
+    if slr:  # stage 3 (train_animating_alpha_2layers_joint_*.py)
         model = SLRTrainable(opt)
         return model, Trainer(opt, model, extra_losses_fn=slr_extra_losses)
-    model = BaselineTrainable(opt)
+    model = BaselineTrainable(opt)  # stage 1 (train_animating.py)
     return model, Trainer(opt, model)
 
 
@@ -95,14 +106,21 @@ def main(argv=None):
     from slrsfs_tpu.io.checkpoint import restore_native, save_native
 
     slr = a.model_type == "softmax_splating_2layers_alpha_seperate"
+    default_ds = {
+        "softmax_splating_2layers_alpha_seperate": "eulerian_data_balanced1_mask",
+        "bg": "eulerian_data_bg",
+        "SPADE_unet_mask_motion": "eulerian_data_motion_hint",
+        "unet_motion": "eulerian_data_motion_hint",
+    }.get(a.model_type, "eulerian_data")
     opt = Options(
         model_type=a.model_type,
-        dataset=a.dataset or ("eulerian_data_balanced1_mask" if slr
-                              else "eulerian_data"),
+        dataset=a.dataset or default_ds,
+        use_online_hint="motion" in a.model_type.lower()
+        or "unet" in a.model_type.lower(),
         batch_size=a.batch_size, W=a.W, ngf=a.ngf,
         niter=a.niter, niter_decay=a.niter_decay,
         lr_g=a.lr_g, lr_d=a.lr_d, seed=a.seed,
-        MVloss=1.0 if slr else 0.0,
+        MVloss=1.0 if (slr or a.model_type == "bg") else 0.0,
         use_alpha0_as_blending_weight=slr,
         ATVloss=0.3 if slr else 0.0, ADCloss=1.0 if slr else 0.0,
         FluidRegionloss=3.0 if slr else 0.0,

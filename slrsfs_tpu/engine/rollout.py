@@ -313,3 +313,59 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
         "CompositeFluidAlpha": comp_alpha.reshape(N, H, W, 1),
         "BGImg": bg_tanh[0],
     }
+
+
+# ---------------------------------------------------------------------------
+# Frame-sharded inference (multi-chip "sequence parallelism")
+# ---------------------------------------------------------------------------
+
+def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
+                                   positions, valid, mesh,
+                                   axis: str = "data"):
+    """Shard the rollout's FRAME axis across a device mesh.
+
+    Frames are independent given the integrated displacement stacks
+    (SURVEY.md §5.7), so after the (cheap, replicated) Euler scan each device
+    renders N/n_devices frames: the per-frame splat+decode is expressed as a
+    vmap over the frame axis with a sharding constraint, and XLA partitions
+    it across ICI with no collectives in the hot loop.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from slrsfs_tpu.models.baseline import (
+        pack_splat_input, z_for_splat, z_normalize,
+    )
+
+    opt = model.opt
+    N = n_frames
+    H, W = flow.shape[0], flow.shape[1]
+    assert not opt.use_softmax_splatter_v2
+
+    fs, z = model.apply(variables, img, method="encode")
+    z = z_for_splat(opt, fs, z)
+    zn = z_normalize(opt, z, None)
+    u = pack_splat_input(fs, zn)[0]
+
+    moving_mask = jnp.zeros((H, W), jnp.float32).at[
+        positions[:, 1], positions[:, 0]
+    ].max(valid)
+    u_static = u * (1.0 - moving_mask)[..., None]
+    u_mov = u[positions[:, 1], positions[:, 0]] * valid[:, None]
+
+    disp_f, _ = euler_integrate_compact(flow, positions, N - 1)
+    disp_p, _ = euler_integrate_compact(-flow, positions, N)
+
+    sh = NamedSharding(mesh, P(axis))
+
+    def frame(t):
+        alpha = 1.0 - t.astype(jnp.float32) / N
+        g_f = softsplat_sum_at(u_mov, positions, disp_f[t], H, W) * alpha
+        g_p = softsplat_sum_at(u_mov, positions, disp_p[N - t], H, W) * (1.0 - alpha)
+        g = g_f + g_p + u_static
+        norm = jnp.maximum(g[..., -1:], 1e-8)
+        gen_fs = g[..., :-1] / norm
+        return model.apply(variables, gen_fs[None], method="decode")[0]
+
+    ts = jax.lax.with_sharding_constraint(jnp.arange(N), sh)
+    frames = jax.vmap(frame)(ts)
+    return jax.lax.with_sharding_constraint(frames, sh)

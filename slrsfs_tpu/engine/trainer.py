@@ -59,13 +59,19 @@ def make_lr_schedule(base_lr: float, niter: int, niter_decay: int,
 
 class Trainer:
     def __init__(self, opt: Options, model, steps_per_epoch: int = 500,
-                 extra_losses_fn=None):
+                 extra_losses_fn=None, task: str = "synthesis"):
         """extra_losses_fn(opt, pred, synth_loss_fn) -> dict with
         'Total Extra' — model-specific losses beyond synthesis+GAN (the SLR
-        alpha/background set lives in models/slr.py:slr_extra_losses)."""
+        alpha/background set lives in models/slr.py:slr_extra_losses).
+
+        task: 'synthesis' (baseline/SLR: recon target = middle image),
+        'bg' (stage 2: target = mean video, reference base_model_bg.py),
+        'motion' (motion GAN: MotionLoss vs GT motion, 2-channel D,
+        reference base_model_motion.py)."""
         self.opt = opt
         self.model = model
         self.extra_losses_fn = extra_losses_fn
+        self.task = task
         self.d_model = MultiscaleDiscriminator(opt)
         self.vgg = VGG19Features()
         self.vgg_vars = None  # set via load_vgg / init_vgg
@@ -93,7 +99,7 @@ class Trainer:
             example_batch, True, False, method=self.model.forward_train,
         )
         d_vars = self.d_model.init(
-            {"params": r3}, example_batch["images"][1], True
+            {"params": r3}, self._target(example_batch), True
         )
         if self.vgg_vars is None:
             self.init_vgg(r4)
@@ -110,6 +116,31 @@ class Trainer:
 
     # ---- the step ---------------------------------------------------------
 
+    def _recon_losses(self, gen, target):
+        if self.task == "motion":
+            from slrsfs_tpu.losses.synthesis import MotionLoss, psnr
+
+            out = MotionLoss(self.opt.motion_losses)(gen, target)
+            out["PSNR_motion"] = psnr(gen, target)
+            return out
+        synth = SynthesisLoss(self.opt.losses, self.vgg, self.vgg_vars)
+        losses = synth(gen, target)
+        if self.task == "bg":
+            # stage-2: Total is the MV-weighted synthesis loss
+            # (reference 2layers BackgroundNetwork :1196-1203)
+            losses = {**{k + "_bg": v for k, v in losses.items()
+                         if "Perceptual" in k or "L1" in k},
+                      "Total Loss": losses["Total Loss"] * self.opt.MVloss,
+                      "psnr": losses["psnr"], "ssim": losses["ssim"]}
+        return losses
+
+    def _target(self, batch):
+        if self.task == "bg":
+            return batch["mean_video"]
+        if self.task == "motion":
+            return batch["motions"]
+        return batch["images"][1]
+
     def make_train_step(self):
         opt = self.opt
         synth = SynthesisLoss(opt.losses, self.vgg, self.vgg_vars)
@@ -119,7 +150,7 @@ class Trainer:
 
         def train_step(state: TrainState, batch: Dict, rng
                        ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-            middle = batch["images"][1]
+            middle = self._target(batch)
 
             def g_loss_fn(g_params):
                 g_vars = {
@@ -133,7 +164,7 @@ class Trainer:
                     mutable=["batch_stats", "spectral"],
                     rngs={"noise": rng},
                 )
-                t_losses = synth(gen_img, middle)
+                t_losses = self._recon_losses(gen_img, middle)
                 total = t_losses["Total Loss"]
                 logs = dict(t_losses)
                 if self.extra_losses_fn is not None:
@@ -208,7 +239,6 @@ class Trainer:
 
     def make_eval_step(self):
         """Validation forward (reference base_model.py:106-116)."""
-        synth = SynthesisLoss(self.opt.losses, self.vgg, self.vgg_vars)
         model = self.model
 
         def eval_step(state: TrainState, batch, rng):
@@ -221,6 +251,6 @@ class Trainer:
                 g_vars, batch, False, False,
                 method=model.forward_train, rngs={"noise": rng},
             )
-            return synth(gen_img, batch["images"][1]), pred
+            return self._recon_losses(gen_img, self._target(batch)), pred
 
         return eval_step

@@ -186,6 +186,15 @@ class BackgroundModel(nn.Module):
                  deterministic: bool = True) -> Array:
         return jnp.tanh(self.net_bg(img, train, deterministic))
 
+    def forward_train(self, batch, train: bool = True,
+                      deterministic: bool = False):
+        """(reference :1128-1225) — background from the start view, mean
+        video as target (the trainer compares against batch['mean_video'])."""
+        start_img = batch["images"][0]
+        bg_f = jnp.tanh(self.net_bg(start_img, train, deterministic))
+        pred = {"PredImg": bg_f, "OutputImg": batch["mean_video"]}
+        return bg_f, pred
+
 
 # ---------------------------------------------------------------------------
 # Training

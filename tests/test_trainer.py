@@ -63,3 +63,46 @@ def test_dryrun_multichip_8():
 
     assert len(jax.devices()) >= 8, jax.devices()
     ge.dryrun_multichip(8)
+
+
+def test_frame_sharded_rollout_matches_sparse():
+    """Frame-sharded inference over the 8-device CPU mesh must equal the
+    single-device sparse rollout."""
+    from slrsfs_tpu.engine.init_utils import settle
+    from slrsfs_tpu.engine.rollout import (
+        baseline_rollout_frame_sharded,
+        baseline_rollout_sparse,
+        prepare_scene_sparse,
+    )
+    from slrsfs_tpu.parallel.mesh import make_mesh, replicate
+
+    rng = np.random.default_rng(7)
+    H = W = 32
+    N = 8
+    opt = Options(ngf=16, W=W)
+    from slrsfs_tpu.models.baseline import BaselineModel
+
+    model = BaselineModel(opt)
+    img = jnp.asarray(rng.standard_normal((1, H, W, 3)) * 0.25, jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img, False, True,
+    )
+    variables = settle(model, variables, (img,), n=8)
+    flow = rng.standard_normal((H, W, 2)).astype(np.float32)
+    flow[: H // 2] = 0.0
+    pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
+
+    want = baseline_rollout_sparse(
+        model, variables, img, jnp.asarray(flow), N,
+        jnp.asarray(pos), jnp.asarray(valid), decode_batch=4)
+
+    mesh = make_mesh(8)
+    variables_r = replicate(variables, mesh)
+    run = jax.jit(lambda v, i, f, p, va: baseline_rollout_frame_sharded(
+        model, v, i, f, N, p, va, mesh))
+    got = run(replicate(variables, mesh), jnp.asarray(img),
+              jnp.asarray(flow), jnp.asarray(pos), jnp.asarray(valid))
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
