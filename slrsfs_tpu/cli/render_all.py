@@ -1,0 +1,67 @@
+"""Scene-loop renderer (reference ``test_animating/*/test_all_*_scenes.py``).
+
+Iterates ``<scene>_input.jpg`` files in a directory, renders each with the
+paired motion file, with optional [start, end) index-range sharding for
+embarrassingly-parallel multi-job inference (reference
+test_all_CLAW_scenes.py:58-96 / test_sbatch_2.sh):
+
+    python -m slrsfs_tpu.cli.render_all SCENES_DIR SAVE_DIR \
+        [--ckpt C] [--start 0] [--end -1] [--align align.json] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("scenes_dir")
+    p.add_argument("save_dir")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--W", type=int, default=768)
+    p.add_argument("--n-frames", type=int, default=60)
+    p.add_argument("--speed", type=float, default=1.0)
+    p.add_argument("--align", default="None")
+    p.add_argument("--rawsize", action="store_true")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--start", type=int, default=0,
+                   help="scene index range start (multi-job sharding)")
+    p.add_argument("--end", type=int, default=-1)
+    p.add_argument("--flow-suffix", default="_motion.flo",
+                   help="motion file suffix paired with _input.jpg")
+    a = p.parse_args(argv)
+
+    from slrsfs_tpu.cli.render import render_scene
+
+    inputs = sorted(glob.glob(os.path.join(a.scenes_dir, "*_input.jpg")))
+    end = len(inputs) if a.end < 0 else a.end
+    inputs = inputs[a.start:end]
+    print(f"rendering {len(inputs)} scenes [{a.start}:{end})")
+    done, skipped = 0, []
+    for img_path in inputs:
+        name = os.path.basename(img_path)[: -len("_input.jpg")]
+        flow_path = os.path.join(a.scenes_dir, name + a.flow_suffix)
+        if not os.path.exists(flow_path):
+            for alt in ("_motion.pth", "_motion.npz", "_motion.flo"):
+                cand = os.path.join(a.scenes_dir, name + alt)
+                if os.path.exists(cand):
+                    flow_path = cand
+                    break
+            else:
+                skipped.append(name)
+                continue
+        render_scene(img_path, flow_path, a.save_dir, ckpt=a.ckpt, name=name,
+                     W=a.W, n_frames=a.n_frames, speed=a.speed,
+                     align_json=a.align, rawsize=a.rawsize, dtype=a.dtype)
+        done += 1
+        print(f"[{done}/{len(inputs)}] {name}")
+    if skipped:
+        print(f"skipped (no motion file): {skipped}")
+
+
+if __name__ == "__main__":
+    main()

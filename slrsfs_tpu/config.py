@@ -72,6 +72,8 @@ class Options:
     balanced_weight: int = 1
 
     # ---- motion regressor ---------------------------------------------------
+    train_motion: bool = False  # embed a motion regressor in the fluid model
+    freeze_motion: bool = False  # fix-motion finetune: freeze its params
     use_mask_as_motion_input: bool = True
     use_hint_as_motion_input: bool = True
     div_flow: float = 1.0

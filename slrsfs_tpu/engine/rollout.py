@@ -369,3 +369,40 @@ def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
     ts = jax.lax.with_sharding_constraint(jnp.arange(N), sh)
     frames = jax.vmap(frame)(ts)
     return jax.lax.with_sharding_constraint(frames, sh)
+
+
+# ---------------------------------------------------------------------------
+# GT-motion direct warp (no network)
+# ---------------------------------------------------------------------------
+
+def warp_flow_rollout(img, flow, n_frames: int, positions, valid):
+    """Warp the raw image with the integrated GT motion — no encoder/decoder
+    (reference ``AnimatingSoftmaxSplating.warp_flow``,
+    animating_softmax_splating.py:983-1173): symmetric double-ended softmax
+    splat of the RGB pixels themselves, useful for GT-warp visualization and
+    eval baselines.
+
+    img (1, H, W, 3) in [-1, 1]; returns (N, H, W, 3)."""
+    N = n_frames
+    H, W = flow.shape[0], flow.shape[1]
+    u = jnp.concatenate(
+        [img[0], jnp.ones((H, W, 1), img.dtype)], axis=-1)  # Z == 1
+
+    moving_mask = jnp.zeros((H, W), jnp.float32).at[
+        positions[:, 1], positions[:, 0]
+    ].max(valid)
+    u_static = u * (1.0 - moving_mask)[..., None]
+    u_mov = u[positions[:, 1], positions[:, 0]] * valid[:, None]
+
+    disp_f, _ = euler_integrate_compact(flow, positions, N - 1)
+    disp_p, _ = euler_integrate_compact(-flow, positions, N)
+
+    def frame(_, t):
+        alpha = 1.0 - t.astype(jnp.float32) / N
+        g = (softsplat_sum_at(u_mov, positions, disp_f[t], H, W) * alpha
+             + softsplat_sum_at(u_mov, positions, disp_p[N - t], H, W)
+             * (1.0 - alpha) + u_static)
+        return None, g[..., :3] / jnp.maximum(g[..., 3:], 1e-8)
+
+    _, frames = jax.lax.scan(frame, None, jnp.arange(N))
+    return frames

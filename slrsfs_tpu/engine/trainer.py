@@ -80,6 +80,15 @@ class Trainer:
         sched_d = make_lr_schedule(opt.lr_d, opt.niter, opt.niter_decay,
                                    steps_per_epoch)
         self.tx_g = optax.adam(sched_g, b1=opt.beta1, b2=opt.beta2)
+        if getattr(opt, "freeze_motion", False):
+            # fix-motion finetune: freeze the embedded motion regressor
+            # (reference train_animating_fixmotion.py:448-450)
+            def label(params):
+                return {k: ("freeze" if k == "motion_regressor" else "train")
+                        for k in params}
+
+            self.tx_g = optax.multi_transform(
+                {"train": self.tx_g, "freeze": optax.set_to_zero()}, label)
         self.tx_d = optax.adam(sched_d, b1=opt.beta1, b2=opt.beta2)
         self.use_discriminator = opt.discriminator_losses != "0"
 

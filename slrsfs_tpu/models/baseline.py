@@ -186,3 +186,52 @@ class BaselineTrainable(BaselineModel):
             "GTMotion": flow,
         }
         return gen_img, pred
+
+
+class BaselineMotionTrainable(BaselineTrainable):
+    """Baseline with an embedded motion regressor (reference
+    ``train_motion`` branches, animating_softmax_splating.py:514-536):
+    the splatting flow comes from the regressor instead of GT, and motion
+    losses join the total. Used by the fix-motion finetune and
+    joint-IGAN-only stages (train_animating_fixmotion.py /
+    train_animating_motion_IGANonly.py); with ``opt.freeze_motion`` the
+    trainer zeroes the regressor's updates."""
+
+    def setup(self):
+        super().setup()
+        from slrsfs_tpu.models.motion import MotionRegressor
+
+        self.motion_regressor = MotionRegressor(self.opt)
+
+    def forward_train(self, batch, train: bool = True,
+                      deterministic: bool = False):
+        from slrsfs_tpu.models.motion import moving_region_mask
+
+        gt_motion = batch["motions"]
+        mask = moving_region_mask(gt_motion)
+        pred_scaled = self.motion_regressor.predict(
+            batch["images"][0], mask, batch.get("hints"), train)
+        if self.opt.freeze_motion:
+            pred_scaled = jax.lax.stop_gradient(pred_scaled)
+        # train at motionW, splat at W (reference :534-535)
+        scale = jnp.asarray(
+            [self.opt.W / self.opt.motionW, self.opt.W / self.opt.motionH],
+            pred_scaled.dtype)
+        batch = dict(batch)
+        batch["motions"] = pred_scaled * scale
+        gen_img, pred = super().forward_train(batch, train, deterministic)
+        pred["PredMotion"] = pred_scaled
+        pred["GTMotionRaw"] = gt_motion
+        return gen_img, pred
+
+
+def baseline_motion_extra_losses(opt, pred, synth_loss_fn=None):
+    """Motion losses joining the fluid total (reference :748-754)."""
+    from slrsfs_tpu.losses.synthesis import MotionLoss
+
+    ml = MotionLoss(opt.motion_losses)(pred["PredMotion"], pred["GTMotionRaw"])
+    out = {k: v for k, v in ml.items() if k != "Total Loss"}
+    out["Total Extra"] = (
+        jnp.zeros(()) if opt.freeze_motion else ml["Total Loss"]
+    )
+    return out

@@ -62,3 +62,48 @@ def test_motion_gan_train_step():
     g0 = jax.tree.leaves(state.g_params)[0]
     g1 = jax.tree.leaves(new_state.g_params)[0]
     assert not np.allclose(np.asarray(g0), np.asarray(g1))
+
+
+def test_fixmotion_finetune_step():
+    """Embedded motion regressor with frozen params: fluid nets train, the
+    regressor stays bit-identical (reference train_animating_fixmotion.py)."""
+    from slrsfs_tpu.models.baseline import (
+        BaselineMotionTrainable,
+        baseline_motion_extra_losses,
+    )
+
+    rng = np.random.default_rng(2)
+    B = 1
+    H = 256  # SPADE UNet needs 256^2
+    opt = Options(
+        ngf=16, W=H, motionH=H, motionW=H, batch_size=B,
+        train_motion=True, freeze_motion=True,
+        motion_losses=("10.0_EndPointError",), div_flow=1.0,
+    )
+    model = BaselineMotionTrainable(opt, train_max_steps=2)
+    trainer = Trainer(opt, model, steps_per_epoch=10,
+                      extra_losses_fn=baseline_motion_extra_losses)
+    idx = np.zeros((B, 3), np.int32)
+    idx[:, 1] = 1
+    idx[:, 2] = 2
+    motion = np.zeros((B, H, H, 2), np.float32)
+    motion[:, H // 2 :, :, 0] = 1.0
+    batch = {
+        "images": [jnp.asarray(rng.standard_normal((B, H, H, 3)) * 0.25,
+                               jnp.float32) for _ in range(3)],
+        "index": jnp.asarray(idx),
+        "motions": jnp.asarray(motion),
+        "hints": jnp.zeros((B, H, H, 2), jnp.float32),
+    }
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer.make_train_step())
+    new_state, logs = step(state, batch, jax.random.PRNGKey(1))
+    assert "EndPointError" in logs
+    # motion params frozen bit-exactly; encoder params moved
+    m0 = jax.tree.leaves(state.g_params["motion_regressor"])
+    m1 = jax.tree.leaves(new_state.g_params["motion_regressor"])
+    for a, b in zip(m0, m1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    e0 = jax.tree.leaves(state.g_params["encoder"])[0]
+    e1 = jax.tree.leaves(new_state.g_params["encoder"])[0]
+    assert not np.allclose(np.asarray(e0), np.asarray(e1))
