@@ -32,7 +32,7 @@ from slrsfs_tpu.engine.rollout import (
 from slrsfs_tpu.models.baseline import BaselineModel
 
 H, W, N = 256, 480, 60
-DECODE_BATCH = 20
+DECODE_BATCH = 60
 
 
 def main():

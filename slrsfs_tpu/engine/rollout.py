@@ -236,7 +236,11 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
     opt = model.opt
     N = n_frames
     assert N % decode_batch == 0, (N, decode_batch)
-    assert not opt.use_softmax_splatter_v2, "sparse SLR path: v2 norm unsupported"
+    if opt.use_softmax_splatter_v2:
+        # per-frame max-warp Z-norm needs the full grid — dense fallback
+        return slr_rollout_dense(model, variables, img, flow, N,
+                                 bg_img_raw=bg_img_raw,
+                                 alpha_region=alpha_region)
     H, W = flow.shape[0], flow.shape[1]
 
     if compute_dtype != jnp.float32:
@@ -406,3 +410,65 @@ def warp_flow_rollout(img, flow, n_frames: int, positions, valid):
 
     _, frames = jax.lax.scan(frame, None, jnp.arange(N))
     return frames
+
+
+def slr_rollout_dense(model, variables, img, flow, n_frames: int,
+                      bg_img_raw=None, alpha_region=None):
+    """Dense SLR rollout supporting the per-frame v2 Z-normalization
+    (maximum-warp-norm over the full grid, reference 2layers forward_flow
+    :955-957) which the sparse path cannot reproduce exactly.
+    Returns the same dict as ``slr_rollout_sparse``."""
+    from slrsfs_tpu.models.baseline import z_for_splat, z_normalize
+    from slrsfs_tpu.ops import euler_integrate_all, softsplat_sum
+
+    opt = model.opt
+    N = n_frames
+    H, W = flow.shape[0], flow.shape[1]
+
+    fs, z = model.apply(variables, img, method="encode")
+    z = z_for_splat(opt, fs, z)
+
+    if bg_img_raw is None:
+        bg_img_raw = model.apply(variables, img, method="bg")
+    bg_tanh = jnp.tanh(bg_img_raw)
+    a_bg_logits, a_fl_logits = model.apply(variables, img, method="alpha_encode")
+    a_bg_sig = jax.nn.sigmoid(a_bg_logits)
+
+    disp_f, _ = euler_integrate_all(flow, N - 1)
+    disp_p, _ = euler_integrate_all(-flow, N)
+
+    per_frame_znorm = opt.use_softmax_splatter_v2
+    if not per_frame_znorm:
+        zn = z_normalize(opt, z, None)
+        u0, use_alpha0 = slr_pack_splat_input(opt, fs, zn, a_fl_logits, a_bg_sig)
+
+    region = None
+    if alpha_region is not None:
+        region = gaussian_blur_region(alpha_region.astype(jnp.float32), W)
+
+    def frame(_, t):
+        alpha = jnp.clip(1.0 - t.astype(jnp.float32) / N, ALPHA_MIN, ALPHA_MAX)
+        ff = disp_f[t][None]
+        fp = disp_p[N - t][None]
+        if per_frame_znorm:
+            # inference uses ONE Z-norm from the forward flow for both ends
+            zn_t = z_normalize(opt, z, ff)
+            u, ua0 = slr_pack_splat_input(opt, fs, zn_t, a_fl_logits, a_bg_sig)
+        else:
+            u, ua0 = u0, use_alpha0
+        g = softsplat_sum(u, ff) * alpha + softsplat_sum(u, fp) * (1.0 - alpha)
+        gen_fs, af_warped = slr_unpack_splatted(g, ua0)
+        fluid = model.apply(variables, gen_fs, method="decode_fluid")
+        ga = jax.nn.sigmoid(
+            model.apply(variables, gen_fs, af_warped, method="decode_alpha"))
+        gen, comp_alpha = slr_composite(fluid, ga, a_bg_sig, bg_tanh,
+                                        alpha_region=region)
+        return None, (gen[0], fluid[0], comp_alpha[0])
+
+    _, (gen, fluid, comp) = jax.lax.scan(frame, None, jnp.arange(N))
+    return {
+        "PredImg": gen,
+        "FluidImg": fluid,
+        "CompositeFluidAlpha": comp,
+        "BGImg": bg_tanh[0],
+    }

@@ -1,0 +1,40 @@
+"""Render CLI driven from an imported reference-style checkpoint (the
+reference's deployment path: opts travel inside the .pth and are restored at
+inference, test_baseline_4eval.py:124-127)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+torch = pytest.importorskip("torch")
+
+from test_checkpoint import _fake_reference_checkpoint
+
+
+def test_render_scene_from_checkpoint(tmp_path):
+    from slrsfs_tpu.cli.render import render_scene
+    from slrsfs_tpu.data.tensors import save_motion
+
+    ckpt_path, enc, dec = _fake_reference_checkpoint(str(tmp_path))
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+    img_path = str(tmp_path / "scene_input.jpg")
+    Image.fromarray(img).save(img_path)
+    motion = np.zeros((64, 96, 2), np.float32)
+    motion[32:, :, 0] = 1.0
+    save_motion(str(tmp_path / "scene_motion.npz"), motion)
+
+    out = render_scene(
+        img_path, str(tmp_path / "scene_motion.npz"), str(tmp_path / "out"),
+        ckpt=ckpt_path, name="scene", W=32, n_frames=6, decode_batch=3,
+    )
+    frames = sorted(os.listdir(os.path.join(out, "PredImg")))
+    assert len(frames) == 6
+    arr = np.asarray(Image.open(os.path.join(out, "PredImg", "000003.png")))
+    assert arr.shape == (32, 48, 3)  # half of the 96x64 input
+    assert np.isfinite(arr).all()
+    # mp4 assembled (cv2 fallback when no ffmpeg)
+    assert any(f.endswith(".mp4") for f in os.listdir(out))

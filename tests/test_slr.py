@@ -103,3 +103,35 @@ def test_slr_train_step():
     g0 = jax.tree.leaves(state.g_params)[0]
     g1 = jax.tree.leaves(new_state.g_params)[0]
     assert not np.allclose(np.asarray(g0), np.asarray(g1))
+
+
+def test_slr_dense_matches_sparse_and_v2_runs():
+    rng = np.random.default_rng(31)
+    H = W = 32
+    N = 4
+    opt = _opt()
+    model = SLRModel(opt)
+    img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
+    variables = _init_slr(model, img)
+    flow = (rng.standard_normal((H, W, 2)) * 1.0).astype(np.float32)
+    flow[: H // 2] = 0.0
+    pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
+
+    from slrsfs_tpu.engine.rollout import slr_rollout_dense
+
+    sparse = slr_rollout_sparse(
+        model, variables, jnp.asarray(img), jnp.asarray(flow), N,
+        jnp.asarray(pos), jnp.asarray(valid), decode_batch=2)
+    dense = slr_rollout_dense(
+        model, variables, jnp.asarray(img), jnp.asarray(flow), N)
+    np.testing.assert_allclose(np.asarray(sparse["PredImg"]),
+                               np.asarray(dense["PredImg"]),
+                               rtol=1e-5, atol=1e-5)
+
+    # v2 checkpoints route through the dense path (per-frame max-warp norm)
+    opt_v2 = _opt(use_softmax_splatter_v2=True, use_softmax_splatter=False)
+    model_v2 = SLRModel(opt_v2)
+    out = slr_rollout_sparse(
+        model_v2, variables, jnp.asarray(img), jnp.asarray(flow), N,
+        jnp.asarray(pos), jnp.asarray(valid), decode_batch=2)
+    assert np.isfinite(np.asarray(out["PredImg"])).all()
