@@ -62,11 +62,15 @@ def save_motion(path: str, flow_hw2: np.ndarray) -> None:
 
 
 def motion_to_hw2(flow) -> np.ndarray:
-    """Normalize any stored layout ((1,2,H,W), (2,H,W), (H,W,2)) → (H, W, 2)."""
+    """Normalize any stored layout ((1,{2,3},H,W), ({2,3},H,W), (H,W,{2,3}))
+    → (H, W, 2). A 3-channel uv·m motion folds to uv*m (the reference's
+    use_uvm handling, animating_softmax_splating.py:541-546)."""
     flow = _to_numpy(flow)
     if flow.ndim == 4:
         flow = flow[0]
-    if flow.ndim == 3 and flow.shape[0] == 2 and flow.shape[-1] != 2:
+    if flow.ndim == 3 and flow.shape[0] in (2, 3) and flow.shape[-1] not in (2, 3):
         flow = flow.transpose(1, 2, 0)
+    if flow.shape[-1] == 3:
+        flow = flow[..., :2] * flow[..., 2:3]
     assert flow.shape[-1] == 2, flow.shape
     return np.ascontiguousarray(flow, dtype=np.float32)

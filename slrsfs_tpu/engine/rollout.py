@@ -101,7 +101,9 @@ def make_jit_rollout(model: BaselineModel, n_frames: int):
 
 import numpy as np
 
-from slrsfs_tpu.ops import euler_integrate_compact, softsplat_sum_at
+from slrsfs_tpu.ops import euler_integrate_compact
+# quad-packed scatter: one update row per source pixel (ops/splat.py)
+from slrsfs_tpu.ops.splat import softsplat_sum_at_quad as softsplat_sum_at
 
 
 def prepare_scene_sparse(flow_np, pad_multiple: int = 1024):

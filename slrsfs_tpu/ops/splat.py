@@ -77,17 +77,30 @@ def _corner_weight_grads(flow: Array):
 
 
 def _splat_sum_single(inp: Array, flow: Array) -> Array:
-    """Summation splat of one sample. inp (H, W, C), flow (H, W, 2)."""
+    """Summation splat of one sample. inp (H, W, C), flow (H, W, 2).
+
+    Quad-packed formulation: TPU scatter cost is dominated by the update-row
+    count (width is nearly free), so the 4 corners of each source pixel pack
+    into ONE (4C)-wide row at the NW corner's flattened index and the combine
+    shifts the NE/SW/SE thirds by +1/+W/+W+1 flat positions — 4x fewer
+    scatter rows than the naive per-corner scatter, identical results
+    (border wrap-arounds carry validity-zeroed weights)."""
     H, W, C = inp.shape
-    idxs = []
-    upds = []
-    for cx, cy, w, valid in _corners(flow):
-        lin = jnp.clip(cy, 0, H - 1) * W + jnp.clip(cx, 0, W - 1)
-        idxs.append(lin.reshape(-1))
-        upds.append((inp * jnp.where(valid, w, 0.0)[..., None]).reshape(-1, C))
-    idx = jnp.concatenate(idxs)
-    upd = jnp.concatenate(upds)
-    out = jnp.zeros((H * W, C), inp.dtype).at[idx].add(upd)
+    HW = H * W
+    corners = _corners(flow)
+    upd = jnp.concatenate(
+        [(inp * jnp.where(valid, w, 0.0)[..., None]).reshape(-1, C)
+         for _cx, _cy, w, valid in corners],
+        axis=-1,
+    )  # (HW, 4C) in corner order NW, NE, SW, SE
+    x0, y0 = corners[0][0], corners[0][1]
+    pad = W + 1
+    q = jnp.clip((y0 * W + x0).reshape(-1) + pad, 0, HW + 2 * pad - 1)
+    buf = jnp.zeros((HW + 2 * pad, 4 * C), inp.dtype).at[q].add(upd)
+    out = (buf[pad:pad + HW, :C]
+           + buf[pad - 1:pad - 1 + HW, C:2 * C]
+           + buf[pad - W:pad - W + HW, 2 * C:3 * C]
+           + buf[pad - W - 1:pad - W - 1 + HW, 3 * C:])
     return out.reshape(H, W, C)
 
 
@@ -269,4 +282,96 @@ def softsplat_sum_at(u: Array, positions: Array, disp: Array, height: int,
     idx = jnp.concatenate(idxs)
     upd = jnp.concatenate(upds)
     out = jnp.zeros((height * width, C), u.dtype).at[idx].add(upd)
+    return out.reshape(height, width, C)
+
+
+def softsplat_sum_at_paired(u: Array, positions: Array, disp: Array,
+                            height: int, width: int) -> Array:
+    """Row-pair splat: HALF the scatter rows of ``softsplat_sum_at``.
+
+    TPU scatter cost is per-update-row and independent of row width, so the
+    two horizontal corners of each source pixel are packed into ONE
+    full-width row [left·C | right·C] scattered into an (H·W, 2C) buffer at
+    the left corner's flattened index; the final combine shifts the right
+    half down one flat position (x+1 with row wrap — exactly flat-index
+    arithmetic, so border cases self-resolve via the usual corner-validity
+    weight zeroing). 2 rows per source pixel (top pair at ty, bottom pair at
+    ty+1) instead of 4. Bit-equivalent to the 4-row formulation up to float
+    summation order.
+    """
+    P, C = u.shape
+    HW = height * width
+    ox = positions[:, 0].astype(disp.dtype) + disp[:, 0]
+    oy = positions[:, 1].astype(disp.dtype) + disp[:, 1]
+    x0f = jnp.floor(ox)
+    y0f = jnp.floor(oy)
+    dx = ox - x0f
+    dy = oy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    def valid(cx, cy):
+        return ((cx >= 0) & (cx < width) & (cy >= 0) & (cy < height)
+                ).astype(u.dtype)[:, None]
+
+    w_nw = ((1.0 - dx) * (1.0 - dy))[:, None] * valid(x0, y0)
+    w_ne = (dx * (1.0 - dy))[:, None] * valid(x0 + 1, y0)
+    w_sw = ((1.0 - dx) * dy)[:, None] * valid(x0, y0 + 1)
+    w_se = (dx * dy)[:, None] * valid(x0 + 1, y0 + 1)
+
+    top = jnp.concatenate([u * w_nw, u * w_ne], axis=-1)  # (P, 2C)
+    bot = jnp.concatenate([u * w_sw, u * w_se], axis=-1)
+    q_top = jnp.clip(y0 * width + x0, 0, HW - 1)
+    q_bot = jnp.clip((y0 + 1) * width + x0, 0, HW - 1)
+    # rows whose weights are all zero may clip to arbitrary targets: harmless
+    idx = jnp.concatenate([q_top, q_bot])
+    upd = jnp.concatenate([top, bot])
+    buf = jnp.zeros((HW, 2 * C), u.dtype).at[idx].add(upd)
+    right_shifted = jnp.concatenate(
+        [jnp.zeros((1, C), u.dtype), buf[:-1, C:]], axis=0)
+    out = buf[:, :C] + right_shifted
+    return out.reshape(height, width, C)
+
+
+def softsplat_sum_at_quad(u: Array, positions: Array, disp: Array,
+                          height: int, width: int) -> Array:
+    """Quad-packed splat: ONE scatter row per source pixel.
+
+    All four corners pack into a single (4C)-wide row at the NW corner's
+    flattened index; the combine shifts the NE/SW/SE thirds by +1, +W, +W+1
+    flat positions (flat-index arithmetic makes border wrap-around land
+    exactly where validity-zeroed weights make it a harmless +0).
+    """
+    P, C = u.shape
+    HW = height * width
+    ox = positions[:, 0].astype(disp.dtype) + disp[:, 0]
+    oy = positions[:, 1].astype(disp.dtype) + disp[:, 1]
+    x0f = jnp.floor(ox)
+    y0f = jnp.floor(oy)
+    dx = ox - x0f
+    dy = oy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    def valid(cx, cy):
+        return ((cx >= 0) & (cx < width) & (cy >= 0) & (cy < height)
+                ).astype(u.dtype)[:, None]
+
+    w_nw = ((1.0 - dx) * (1.0 - dy))[:, None] * valid(x0, y0)
+    w_ne = (dx * (1.0 - dy))[:, None] * valid(x0 + 1, y0)
+    w_sw = ((1.0 - dx) * dy)[:, None] * valid(x0, y0 + 1)
+    w_se = (dx * dy)[:, None] * valid(x0 + 1, y0 + 1)
+
+    upd = jnp.concatenate([u * w_nw, u * w_ne, u * w_sw, u * w_se], axis=-1)
+    # pad by W+1 rows each side: any partially-valid quad has
+    # q = y0*W + x0 in [-(W+1), HW-1], so padding (not clipping) preserves
+    # the relative +1/+W/+W+1 offsets; fully-invalid quads clip harmlessly.
+    pad = width + 1
+    q = jnp.clip(y0 * width + x0 + pad, 0, HW + 2 * pad - 1)
+    buf = jnp.zeros((HW + 2 * pad, 4 * C), u.dtype).at[q].add(upd)
+
+    out = (buf[pad:pad + HW, :C]
+           + buf[pad - 1:pad - 1 + HW, C:2 * C]
+           + buf[pad - width:pad - width + HW, 2 * C:3 * C]
+           + buf[pad - width - 1:pad - width - 1 + HW, 3 * C:])
     return out.reshape(height, width, C)

@@ -112,3 +112,42 @@ def test_flow_flip_negates_x(fixture_root):
         xs.append(x_mean)
     # motion is +1 in the bottom half pre-transform; flipped samples are ~-x
     assert any(x > 0.1 for x in xs) and any(x < -0.1 for x in xs), xs
+
+
+def test_uvm_motion_fold(tmp_path):
+    """3-channel uv*m motion folds to 2 channels (reference use_uvm)."""
+    uvm = np.ones((1, 3, 4, 6), np.float32)
+    uvm[0, 0] = 2.0  # u
+    uvm[0, 2] = 0.5  # m
+    got = motion_to_hw2(uvm)
+    assert got.shape == (4, 6, 2)
+    np.testing.assert_allclose(got[..., 0], 1.0)
+    np.testing.assert_allclose(got[..., 1], 0.5)
+
+
+def test_flow2img_matches_reference():
+    """Color-wheel rendering parity vs the reference implementation."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from utils.flow_utils import flow2img as ref_flow2img
+
+    rng = np.random.default_rng(3)
+    flow = (rng.standard_normal((16, 20, 2)) * 3).astype(np.float32)
+    ours = flow_to_image(flow)
+    want = ref_flow2img(flow.copy())
+    assert ours.shape == want.shape
+    diff = np.abs(ours.astype(int) - want.astype(int))
+    assert diff.max() <= 2, diff.max()  # rounding-level agreement
+
+
+def test_model_registry_and_options_roundtrip():
+    from slrsfs_tpu.config import Options
+    from slrsfs_tpu.models import get_model
+
+    for mt in ("softmax_splating", "softmax_splating_2layers_alpha_seperate",
+               "SPADE_unet_mask_motion", "bg"):
+        m = get_model(Options(model_type=mt))
+        assert m is not None
+    opt = Options(ngf=32, losses=("2.0_l1",), use_softmax_splatter_v2=True)
+    opt2 = Options.from_json(opt.to_json())
+    assert opt2 == opt

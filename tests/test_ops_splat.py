@@ -136,3 +136,47 @@ def test_splat_jit_and_batch(rng):
     for b in range(3):
         want = splat_sum_np(inp[b].astype(np.float64), flow[b].astype(np.float64))
         np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=1e-4)
+
+
+def test_paired_splat_matches_plain(rng):
+    from slrsfs_tpu.ops.splat import softsplat_sum_at, softsplat_sum_at_paired
+
+    H, W, C = 14, 18, 5
+    P = 64
+    pos = np.stack([rng.integers(0, W, P), rng.integers(0, H, P)], 1).astype(np.int32)
+    u = _rand((P, C), rng)
+    disp = _rand((P, 2), rng, scale=5.0)
+    want = np.asarray(softsplat_sum_at(u, pos, disp, H, W))
+    got = np.asarray(softsplat_sum_at_paired(u, pos, disp, H, W))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # border cases: targets exactly on/over every edge
+    disp_edge = np.zeros((P, 2), np.float32)
+    disp_edge[:, 0] = (W - 1) - pos[:, 0] + rng.random(P).astype(np.float32)  # right edge
+    disp_edge[:, 1] = -pos[:, 1].astype(np.float32) - rng.random(P).astype(np.float32)  # top edge
+    want = np.asarray(softsplat_sum_at(u, pos, disp_edge, H, W))
+    got = np.asarray(softsplat_sum_at_paired(u, pos, disp_edge, H, W))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_quad_splat_matches_plain(rng):
+    from slrsfs_tpu.ops.splat import softsplat_sum_at, softsplat_sum_at_quad
+
+    H, W, C = 14, 18, 5
+    P = 64
+    pos = np.stack([rng.integers(0, W, P), rng.integers(0, H, P)], 1).astype(np.int32)
+    u = _rand((P, C), rng)
+    for scale, bias in ((5.0, 0.0), (1.0, 0.0)):
+        disp = _rand((P, 2), rng, scale=scale) + bias
+        want = np.asarray(softsplat_sum_at(u, pos, disp, H, W))
+        got = np.asarray(softsplat_sum_at_quad(u, pos, disp, H, W))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # all four edges + corners
+    for tx, ty in ((-0.5, -0.5), (W - 0.5, H - 0.5), (-0.5, H - 0.5),
+                   (W - 0.5, -0.5), (W - 1.0, 3.5)):
+        disp = np.zeros((P, 2), np.float32)
+        disp[:, 0] = tx - pos[:, 0]
+        disp[:, 1] = ty - pos[:, 1]
+        want = np.asarray(softsplat_sum_at(u, pos, disp, H, W))
+        got = np.asarray(softsplat_sum_at_quad(u, pos, disp, H, W))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
