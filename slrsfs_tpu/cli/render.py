@@ -55,8 +55,9 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
                  n_frames: int = 60, speed: float = 1.0,
                  align_json: str = "None", rawsize: bool = False,
                  rotate: float = 0.0, flow_scale: float = 1.0,
-                 dtype: str = "float32", decode_batch: int = 20,
-                 alpha_region_path: str = None, seed: int = 0):
+                 dtype: str = "float32", decode_batch: int = 60,
+                 alpha_region_path: str = None, seed: int = 0,
+                 motion_ckpt: str = None):
     from slrsfs_tpu.config import Options
     from slrsfs_tpu.data.transforms import transform_flow
     from slrsfs_tpu.engine.init_utils import jit_init, settle
@@ -98,6 +99,23 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
     flow = _load_flow(flow_path)
     flow = edit_flow(flow, rotate, flow_scale)
     flow = transform_flow(flow, W, None, mode="nearest", speed=speed)
+    if motion_ckpt:
+        # motion-from-hints mode (reference
+        # test_motion_4eval_rawsize_threshold.py:163-219): the provided flow
+        # only seeds the moving mask + KMeans/RBF hints; the dense motion
+        # comes from the SPADE regressor.
+        from slrsfs_tpu.data.hints import moving_mask_threshold, synthesize_hint
+        from slrsfs_tpu.io.checkpoint import import_checkpoint
+        from slrsfs_tpu.models.motion import MotionRegressor
+
+        m_vars, m_opt = import_checkpoint(motion_ckpt)
+        m_opt = m_opt.replace(W=W, motionW=W, motionH=W)
+        regressor = MotionRegressor(m_opt)
+        hint, mask = synthesize_hint(flow, n_hints=5)
+        pred = jax.jit(lambda v, i, m, h: regressor.apply(v, i, m, h))(
+            m_vars, img, jnp.asarray(mask)[None, ..., None],
+            jnp.asarray(hint)[None])
+        flow = np.asarray(pred[0])
     if align_json and align_json != "None":
         with open(align_json) as f:
             align = json.load(f)
@@ -188,12 +206,16 @@ def main(argv=None):
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--alpha-region", default=None)
+    p.add_argument("--motion-ckpt", default=None,
+                   help="predict dense motion from sparse hints with this "
+                        "motion-regressor checkpoint (threshold driver mode)")
     a = p.parse_args(argv)
     out = render_scene(
         a.image, a.flow, a.save_dir, ckpt=a.ckpt, name=a.name, W=a.W,
         n_frames=a.n_frames, speed=a.speed, align_json=a.align,
         rawsize=a.rawsize, rotate=a.rotate, flow_scale=a.flow_scale,
-        dtype=a.dtype, alpha_region_path=a.alpha_region)
+        dtype=a.dtype, alpha_region_path=a.alpha_region,
+        motion_ckpt=a.motion_ckpt)
     print(f"rendered to {out}")
 
 

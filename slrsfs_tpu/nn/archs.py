@@ -67,6 +67,47 @@ def get_resnet_arch(model_type: str, opt: Options, in_channels: int = 3) -> Dict
             upsample=[False, "Down", "Down", False, "Up", "Up", False, False],
             activation=["Relu"] * 8,
         )
+    if setup == "256W16UpDown64":
+        # reference configs.py:151-231 — deeper 16-block decoder variant.
+        return dict(
+            layers_enc=[in_channels, ngf // 2, ngf // 2, ngf // 2, ngf // 2,
+                        ngf, ngf, ngf, 64],
+            downsample=[False] * 8,
+            layers_dec=[64, ngf, ngf * 2] + [ngf * 4] * 10
+                       + [ngf * 2, ngf * 2, ngf * 2, 3],
+            upsample=[False, "Down", "Down"] + [False] * 9
+                     + ["Up", "Up", False, False],
+            activation=["Relu"] * 16,
+        )
+    if setup == "256W5UpDown64BG":
+        # reference configs.py:279-312 — shallow BG decoder.
+        return dict(
+            layers_enc=None,
+            downsample=[False] * 3,
+            layers_dec=[3, ngf, ngf * 2, ngf * 2, ngf, 3],
+            upsample=["Down", "Down", False, "Up", "Up"],
+            activation=["Relu"] * 5,
+        )
+    if setup == "256W8UpDown64SingleAlpha":
+        # reference configs.py:360-405 — single-channel alpha decoder.
+        return dict(
+            layers_enc=None,
+            downsample=[False] * 8,
+            layers_dec=[3, ngf, ngf * 2, ngf * 4, ngf * 4, ngf * 2, ngf * 2,
+                        ngf * 2, 1],
+            upsample=[False, "Down", "Down", False, "Up", "Up", False, False],
+            activation=["Relu"] * 8,
+        )
+    if setup == "256W5UpDown64Layers":
+        # reference configs.py:464-501 — shallow Layers decoder.
+        return dict(
+            layers_enc=None,
+            downsample=[False] * 6,
+            layers_dec=[64, ngf * 2, ngf * 4, ngf * 4, ngf * 2,
+                        3 + opt.addtional_decoder_output],
+            upsample=["Down", "Down", False, "Up", "Up"],
+            activation=["Relu"] * 5,
+        )
     if setup == "256W4UpDown64Motion":
         # reference configs.py:502-538 — small motion encoder/decoder.
         return dict(

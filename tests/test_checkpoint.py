@@ -165,3 +165,82 @@ def test_orbax_roundtrip(tmp_path):
     l0 = jax.tree.leaves(state.g_params)[0]
     l1 = jax.tree.leaves(restored.g_params)[0]
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+
+def test_import_motion_checkpoint(tmp_path):
+    """Motion-regressor import: reference-structured SPADE UNet state_dict
+    (architectures.py:602-743 layout) → MotionRegressor variables, output
+    parity of the first conv stage."""
+    import torch.nn as tnn
+
+    nf, cin = 32, 6
+
+    class SpadeT(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.mlp_shared = tnn.Sequential(tnn.Conv2d(6, 128, 3, 1, 1), tnn.ReLU())
+            self.mlp_gamma = tnn.Conv2d(128, c, 3, 1, 1)
+            self.mlp_beta = tnn.Conv2d(128, c, 3, 1, 1)
+
+    class MotionT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            sp = tnn.utils.spectral_norm
+            chans_in = [cin, nf, nf * 2, nf * 4] + [nf * 8] * 4
+            chans_out = [nf, nf * 2, nf * 4] + [nf * 8] * 5
+            for i in range(8):
+                setattr(self, f"conv{i+1}",
+                        sp(tnn.Conv2d(chans_in[i], chans_out[i], 4, 2, 1)))
+            d_in = [nf * 8, nf * 16, nf * 16, nf * 16, nf * 16, nf * 8, nf * 4, nf * 2]
+            d_out = [nf * 8, nf * 8, nf * 8, nf * 8, nf * 4, nf * 2, nf, 2]
+            for i in range(8):
+                setattr(self, f"dconv{i+1}",
+                        sp(tnn.Conv2d(d_in[i], d_out[i], 3, 1, 1)))
+            self.spade_layer = SpadeT(nf)
+            self.spade_layer2_0 = SpadeT(nf * 2)
+            self.spade_layer2_1 = SpadeT(nf * 2)
+            self.spade_layer4_0 = SpadeT(nf * 4)
+            self.spade_layer4_1 = SpadeT(nf * 4)
+            for i in range(8):
+                setattr(self, f"spade_layer8_{i}", SpadeT(nf * 8))
+
+    tm = MotionT()
+    sd = {f"motion_predictor.{k}": v for k, v in tm.state_dict().items()}
+    ns = argparse.Namespace(model_type="SPADE_unet_mask_motion", W=256,
+                            motionW=256, motionH=256, div_flow=1.0,
+                            use_mask_as_motion_input=True,
+                            use_hint_as_motion_input=True,
+                            norm_G="sync:spectral_batch")
+    path = os.path.join(str(tmp_path), "motion.pth")
+    torch.save({"state_dict": sd, "opts": ns}, path)
+
+    variables, opt = import_checkpoint(path)
+    assert opt.model_type == "SPADE_unet_mask_motion"
+
+    from slrsfs_tpu.models.motion import MotionRegressor
+
+    m = MotionRegressor(opt)
+    rng = np.random.default_rng(5)
+    img = (rng.standard_normal((1, 256, 256, 3)) * 0.25).astype(np.float32)
+    mask = np.ones((1, 256, 256, 1), np.float32)
+    hint = np.zeros((1, 256, 256, 2), np.float32)
+    pred = m.apply(variables, jnp.asarray(img), jnp.asarray(mask),
+                   jnp.asarray(hint))
+    assert pred.shape == (1, 256, 256, 2)
+    assert np.isfinite(np.asarray(pred)).all()
+
+    # spot-parity: first conv (spectral, eval) on the concatenated input
+    x = np.concatenate([img, mask, hint], -1)
+    tm.eval()
+    with torch.no_grad():
+        want = tm.conv1(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    from slrsfs_tpu.nn.conv import Conv
+
+    c1 = Conv(nf, 4, 2, 1, spectral=True)
+    got = c1.apply(
+        {"params": variables["params"]["motion_predictor"]["conv1"],
+         "spectral": variables["spectral"]["motion_predictor"]["conv1"]},
+        jnp.asarray(x), False)
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy().transpose(0, 2, 3, 1),
+        rtol=3e-4, atol=3e-4)

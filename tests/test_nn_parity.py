@@ -165,3 +165,30 @@ def test_resnet_block_parity_train_batchstats(rng):
         np.asarray(new_vars["spectral"]["conv_aa"]["sn"]["u"]),
         sd["ch_a.2.weight_u"].numpy(), rtol=1e-3, atol=1e-4,
     )
+
+
+def test_additional_arch_tables_construct():
+    """The remaining reference arch setups build and run (configs.py:151-501)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slrsfs_tpu.nn.resnets import ResNetDecoder, ResNetEncoderWithZ
+
+    for mt, in_w in (
+        ("resnet_256W16UpDown64_nonorm", 32),
+        ("resnet_256W5UpDown64BG_nonorm", 32),
+        ("resnet_256W8UpDown64SingleAlpha_nonorm", 32),
+        ("resnet_256W5UpDown64Layers_nonorm", 32),
+        ("resnet_256W5UpDown64_nonorm", 32),
+    ):
+        opt = Options(ngf=16, refine_model_type=mt, addtional_decoder_output=0)
+        from slrsfs_tpu.nn.archs import get_resnet_arch
+
+        arch = get_resnet_arch(mt, opt)
+        dec = ResNetDecoder(opt)
+        x = jnp.zeros((1, in_w, in_w, arch["layers_dec"][0]))
+        variables = dec.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            x, False, True)
+        out = dec.apply(variables, x, False, True)
+        assert out.shape[-1] == arch["layers_dec"][-1]
