@@ -27,11 +27,31 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Shard every array leaf along its leading (batch) dimension."""
+def shard_batch(batch, mesh: Mesh, axis: str = "data",
+                batch_size: Optional[int] = None):
+    """Shard array leaves along their leading (batch) dimension.
+
+    A leaf is sharded only when its leading dim is divisible by the mesh
+    size — and, when ``batch_size`` is given, only when its leading dim
+    equals ``batch_size`` (so non-batch-leading arrays such as (H, W, 2)
+    hints are replicated rather than silently mis-sharded). Leaves that
+    look batch-leading but are NOT divisible raise, instead of XLA's
+    opaque uneven-sharding error later.
+    """
+    n = mesh.devices.size
 
     def put(x):
         if hasattr(x, "ndim") and x.ndim >= 1:
+            lead = x.shape[0]
+            if batch_size is not None and lead != batch_size:
+                return jax.device_put(x, NamedSharding(mesh, P()))
+            if lead % n != 0:
+                if batch_size is None:
+                    return jax.device_put(x, NamedSharding(mesh, P()))
+                raise ValueError(
+                    f"batch leaf with leading dim {lead} not divisible by "
+                    f"mesh size {n}: shape {x.shape}"
+                )
             return jax.device_put(x, NamedSharding(mesh, P(axis)))
         return jax.device_put(x, NamedSharding(mesh, P()))
 
