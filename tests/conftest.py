@@ -24,6 +24,23 @@ def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.fixture(autouse=True)
+def _seed_torch_rng():
+    """Deterministic torch global RNG per test: the parity tests build
+    reference torch modules whose weights otherwise come from the unseeded
+    global generator, making failures nondeterministic."""
+    try:
+        import torch
+
+        torch.manual_seed(0)
+    except ImportError:
+        pass
+    yield
+
+
 import json
 import numpy as np
 import pytest

@@ -20,7 +20,7 @@ from slrsfs_tpu.io.torch_import import (
 )
 from slrsfs_tpu.nn.blocks import ResNetBlock, ResNetBlockPconv2
 from slrsfs_tpu.nn.conv import PartialConv
-from torch_ref import ref_opt, to_nchw, to_nhwc
+from torch_ref import assert_close, ref_opt, settle_spectral, to_nchw, to_nhwc
 
 from models.layers.blocks import (  # reference (read-only import)
     ResNet_Block,
@@ -43,8 +43,8 @@ def rng():
 
 def test_spectral_conv_parity(rng):
     tconv = spectral_conv_function(8, 16, 3, 1, 1)
-    tconv.eval()
     x = _rand_nhwc(rng, 2, 12, 12, 8)
+    settle_spectral(tconv, to_nchw(x))
     with torch.no_grad():
         want = to_nhwc(tconv(to_nchw(x)))
 
@@ -61,7 +61,7 @@ def test_spectral_conv_parity(rng):
         "spectral": tree["spectral"]["c"],
     }
     got = m.apply(variables, x, False)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+    assert_close(got, want, rel=RTOL)
 
 
 def test_partial_conv_parity(rng):
@@ -79,7 +79,7 @@ def test_partial_conv_parity(rng):
     tree = split_collections({"c": conv_params(r, "", spectral=False, bias=True)})
     m = PartialConv(10, 3, 1, 1, spectral=False)
     got, got_mask = m.apply({"params": tree["params"]["c"]}, x, mask, False)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+    assert_close(got, want, rel=RTOL)
     # our mask is single-channel; reference channels are identical
     np.testing.assert_allclose(np.asarray(got_mask)[..., 0], want_mask[..., 0], atol=1e-6)
     assert np.all(want_mask == want_mask[..., :1])
@@ -89,8 +89,8 @@ def test_partial_conv_parity(rng):
 def test_resnet_block_parity_eval(rng, down):
     opt = ref_opt()
     tb = ResNet_Block(8, 12, opt, downsample=down)
-    tb.eval()
     x = _rand_nhwc(rng, 2, 16, 16, 8)
+    settle_spectral(tb, to_nchw(x))
     with torch.no_grad():
         want = to_nhwc(tb(to_nchw(x)))
 
@@ -103,17 +103,17 @@ def test_resnet_block_parity_eval(rng, down):
          "spectral": tree["spectral"]},
         x, False, True,
     )
-    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+    assert_close(got, want, rel=RTOL)
 
 
 @pytest.mark.parametrize("down", [False, "Down", "Up"])
 def test_resnet_block_pconv2_parity_eval(rng, down):
     opt = ref_opt()
     tb = ResNet_Block_Pconv2(8, 12, opt, downsample=down)
-    tb.eval()
     x = _rand_nhwc(rng, 1, 16, 16, 8)
     xt = to_nchw(x)
     maskt = (xt != 0).float()
+    settle_spectral(tb, xt, maskt)
     with torch.no_grad():
         want, want_mask = tb(xt, maskt)
     want = to_nhwc(want)
@@ -130,7 +130,7 @@ def test_resnet_block_pconv2_parity_eval(rng, down):
          "spectral": tree["spectral"]},
         x, (x != 0).astype(np.float32), False, True,
     )
-    np.testing.assert_allclose(np.asarray(got), want, rtol=RTOL, atol=ATOL)
+    assert_close(got, want, rel=RTOL)
     np.testing.assert_allclose(
         np.asarray(got_mask)[..., 0], to_nhwc(want_mask)[..., 0], atol=1e-6
     )

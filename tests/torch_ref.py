@@ -10,6 +10,32 @@ import numpy as np
 sys.path.insert(0, "/root/reference")
 
 
+def assert_close(got, want, rel=2e-4):
+    """Allclose with atol scaled to the output magnitude.
+
+    Freshly-initialized spectral norm can leave activations at magnitude
+    ~1e3 (sigma estimated from a random u), where a fixed atol of 2e-4 is
+    meaningless and near-zero elements (ReLU crossings) fail pure rtol.
+    """
+    got = np.asarray(got)
+    want = np.asarray(want)
+    scale = float(max(np.abs(want).max(), 1.0))
+    np.testing.assert_allclose(got, want, rtol=rel, atol=rel * scale)
+
+
+def settle_spectral(module, *args, iters=8):
+    """Run a torch module a few train-mode steps so spectral-norm power
+    iteration converges (sigma becomes a real spectral norm) before the
+    eval-mode parity comparison."""
+    import torch
+
+    module.train()
+    with torch.no_grad():
+        for _ in range(iters):
+            module(*args)
+    module.eval()
+
+
 def ref_opt(**kw):
     d = dict(norm_G="sync:spectral_batch", pconv="pconv_pbn_woresbias", bn_noise_misc=True)
     d.update(kw)
