@@ -1,17 +1,21 @@
 #!/usr/bin/env python
 """End-to-end benchmark: 60-frame 480x256 CLAW-style rollout on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline (BASELINE.json north star): the full rollout — motion integration,
-symmetric double-ended softmax splat, pconv decode, all frames on device —
-in < 1 s, i.e. >= 60 frames/sec. vs_baseline is achieved_fps / 60.
+Prints ONE JSON line. Primary metric (unchanged across rounds):
+``rollout_fps_60f_480x256`` — baseline model, sparse fast path, bf16 decode,
+50%-moving synthetic scene. vs_baseline is achieved_fps / 60 (the BASELINE.json
+north star of <1 s per 60-frame rollout).
 
-Scene: CLAW-like fluid scene at 480x256 — half the image is moving fluid
-(dense per-pixel motion), half static (zero motion), which is what the
-reference's masked eulerian motion fields look like. The engine's sparse
-fast path exploits the static region *exactly* (static pixels splat onto
-themselves; see slrsfs_tpu/engine/rollout.py). Speed mode: bfloat16 decode
-with float32 splat accumulation.
+Additional labeled numbers in the same JSON object:
+* ``worst_case_dense_fps`` — same model with 100% of pixels moving (the
+  sparse path's win scales with the static fraction; this is its floor)
+* ``f32_fps``              — full-float32 rollout (no bf16 decode)
+* ``slr_fps``              — two-layer SLR model (fluid + alpha + composite)
+* ``rawsize768_fps``       — 768x768 model input, the CLAW eval protocol
+  resolution (test_animating/CLAW/test_v1.sh:19)
+
+All numbers use random weights on a synthetic scene; quality parity is
+covered by the test suite, this file measures speed only.
 """
 
 import json
@@ -24,27 +28,57 @@ import jax
 import jax.numpy as jnp
 
 from slrsfs_tpu.config import Options
-from slrsfs_tpu.engine.init_utils import settle
+from slrsfs_tpu.engine.init_utils import jit_init, settle
 from slrsfs_tpu.engine.rollout import (
     baseline_rollout_sparse,
     prepare_scene_sparse,
+    slr_rollout_sparse,
 )
 from slrsfs_tpu.models.baseline import BaselineModel
+from slrsfs_tpu.models.slr import SLRModel
 
 H, W, N = 256, 480, 60
 DECODE_BATCH = 60
 
 
+def _force(frames):
+    # NOTE: on the axon-tunneled TPU platform, block_until_ready returns
+    # before device execution finishes; reading one scalar of the last frame
+    # forces completion while transferring only 4 bytes.
+    if isinstance(frames, dict):
+        frames = frames["PredImg"]
+    _ = float(frames[-1, -1, -1, -1])
+    return frames
+
+
+def _time_fn(fn, runs=3):
+    t0 = time.perf_counter()
+    frames = _force(fn())
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        frames = _force(fn())
+        times.append(time.perf_counter() - t0)
+    return frames, compile_s, min(times)
+
+
+def _scene(rng, h, w, moving_frac=0.5):
+    img = jnp.asarray(rng.standard_normal((1, h, w, 3)) * 0.25, jnp.float32)
+    flow_np = rng.standard_normal((h, w, 2)).astype(np.float32)
+    static_rows = int(h * (1.0 - moving_frac))
+    flow_np[:static_rows] = 0.0
+    positions, valid = prepare_scene_sparse(flow_np)
+    return (img, jnp.asarray(flow_np), jnp.asarray(positions),
+            jnp.asarray(valid))
+
+
 def main():
     dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
     opt = Options()  # flagship baseline2 config: ngf=64, 65ch, pconv decoder
     model = BaselineModel(opt)
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((1, H, W, 3)) * 0.25, jnp.float32)
-    flow_np = rng.standard_normal((H, W, 2)).astype(np.float32)
-    flow_np[: H // 2] = 0.0  # static top half (sky/rocks)
-
-    from slrsfs_tpu.engine.init_utils import jit_init
+    img, flow, positions, valid = _scene(rng, H, W, moving_frac=0.5)
 
     variables = jit_init(
         model,
@@ -52,50 +86,69 @@ def main():
         img, False, True,
     )
     variables = settle(model, variables, (img,), n=6)
-    positions, valid = prepare_scene_sparse(flow_np)
-    flow = jnp.asarray(flow_np)
-    positions = jnp.asarray(positions)
-    valid = jnp.asarray(valid)
 
-    run = jax.jit(
-        lambda v, i, f, p, va: baseline_rollout_sparse(
-            model, v, i, f, N, p, va,
-            decode_batch=DECODE_BATCH, compute_dtype=jnp.bfloat16,
-        )
-    )
+    def make_run(v, i, f, p, va, dtype, n=N, db=DECODE_BATCH):
+        run = jax.jit(lambda v_, i_, f_, p_, va_: baseline_rollout_sparse(
+            model, v_, i_, f_, n, p_, va_,
+            decode_batch=db, compute_dtype=dtype))
+        return lambda: run(v, i, f, p, va)
 
-    # NOTE: on the axon-tunneled TPU platform, block_until_ready returns
-    # before device execution finishes; reading one scalar of the last frame
-    # forces completion while transferring only 4 bytes.
-    def run_blocking():
-        frames = run(variables, img, flow, positions, valid)
-        _ = float(frames[-1, -1, -1, -1])
-        return frames
-
-    t0 = time.perf_counter()
-    frames = run_blocking()
-    compile_s = time.perf_counter() - t0
-
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        frames = run_blocking()
-        times.append(time.perf_counter() - t0)
-    best = min(times)
+    # 1. headline: sparse bf16, 50% moving
+    frames, compile_s, best = _time_fn(
+        make_run(variables, img, flow, positions, valid, jnp.bfloat16))
     fps = N / best
+    print(f"# device={dev} compile={compile_s:.1f}s best={best*1000:.1f}ms "
+          f"frames_shape={frames.shape} "
+          f"moving_frac={float(np.asarray(valid).sum()) / (H * W):.2f} "
+          f"mode=sparse+bf16 decode_batch={DECODE_BATCH}", file=sys.stderr)
 
-    print(
-        f"# device={dev} compile={compile_s:.1f}s best={best*1000:.1f}ms "
-        f"runs={[f'{t*1000:.1f}' for t in times]} frames_shape={frames.shape} "
-        f"moving_frac={float(np.asarray(valid).sum()) / (H * W):.2f} "
-        f"mode=sparse+bf16 decode_batch={DECODE_BATCH}",
-        file=sys.stderr,
+    extras = {}
+
+    # 2. worst case: 100% of pixels moving (sparse path's floor)
+    img2, flow2, pos2, val2 = _scene(rng, H, W, moving_frac=1.0)
+    _, c2, b2 = _time_fn(
+        make_run(variables, img2, flow2, pos2, val2, jnp.bfloat16), runs=2)
+    extras["worst_case_dense_fps"] = round(N / b2, 2)
+    print(f"# worst-case 100%-moving: {b2*1000:.1f}ms compile={c2:.1f}s",
+          file=sys.stderr)
+
+    # 3. float32 (no bf16 decode)
+    _, c3, b3 = _time_fn(
+        make_run(variables, img, flow, positions, valid, jnp.float32), runs=2)
+    extras["f32_fps"] = round(N / b3, 2)
+    print(f"# f32: {b3*1000:.1f}ms compile={c3:.1f}s", file=sys.stderr)
+
+    # 4. rawsize W=768 (CLAW eval protocol resolution), bf16
+    img4, flow4, pos4, val4 = _scene(rng, 768, 768, moving_frac=0.5)
+    _, c4, b4 = _time_fn(
+        make_run(variables, img4, flow4, pos4, val4, jnp.bfloat16, db=5),
+        runs=2)
+    extras["rawsize768_fps"] = round(N / b4, 2)
+    print(f"# rawsize 768x768: {b4*1000:.1f}ms compile={c4:.1f}s",
+          file=sys.stderr)
+
+    # 5. SLR two-layer model, bf16
+    slr = SLRModel(opt.replace(use_alpha0_as_blending_weight=True))
+    slr_vars = jit_init(
+        slr,
+        {"params": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)},
+        img, False, True,
     )
+    slr_vars = settle(slr, slr_vars, (img,), n=2)
+    run_slr = jax.jit(lambda v, i, f, p, va: slr_rollout_sparse(
+        slr, v, i, f, N, p, va, decode_batch=DECODE_BATCH,
+        compute_dtype=jnp.bfloat16))
+    _, c5, b5 = _time_fn(
+        lambda: run_slr(slr_vars, img, flow, positions, valid), runs=2)
+    extras["slr_fps"] = round(N / b5, 2)
+    print(f"# SLR: {b5*1000:.1f}ms compile={c5:.1f}s", file=sys.stderr)
+
     print(json.dumps({
         "metric": "rollout_fps_60f_480x256",
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 60.0, 3),
+        **extras,
     }))
 
 

@@ -57,7 +57,7 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
                  rotate: float = 0.0, flow_scale: float = 1.0,
                  dtype: str = "float32", decode_batch: int = 60,
                  alpha_region_path: str = None, seed: int = 0,
-                 motion_ckpt: str = None):
+                 motion_ckpt: str = None, opt_overrides: dict = None):
     from slrsfs_tpu.config import Options
     from slrsfs_tpu.data.transforms import transform_flow
     from slrsfs_tpu.engine.init_utils import jit_init, settle
@@ -80,7 +80,7 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
         variables, opt = import_checkpoint(ckpt)
         opt = opt.replace(W=W)
     else:  # random weights (smoke/benchmark mode)
-        opt = Options(W=W, bn_noise_misc=True)
+        opt = Options(W=W, bn_noise_misc=True, **(opt_overrides or {}))
     slr = opt.model_type == "softmax_splating_2layers_alpha_seperate"
     model = (SLRModel if slr else BaselineModel)(opt)
     img_pil = Image.open(image_path).convert("RGB")

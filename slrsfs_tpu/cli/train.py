@@ -99,6 +99,18 @@ def main(argv=None):
     p.add_argument("--vgg-pth", default=None,
                    help="torchvision vgg19 state_dict for the content loss")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--random-ff-mask", action="store_true",
+                   help="free-form occlusion augmentation "
+                        "(reference --random_ff_mask)")
+    p.add_argument("--random-ff-mask-rate", type=float, default=0.5)
+    # architecture overrides (reference --refine_model_type etc.)
+    p.add_argument("--refine-model-type", default=None)
+    p.add_argument("--alpha-refine-model-type", default=None)
+    p.add_argument("--bg-refine-model-type", default=None)
+    p.add_argument("--out-channel", type=int, default=None)
+    p.add_argument("--ndf", type=int, default=None)
+    p.add_argument("--num-D", type=int, default=None)
+    p.add_argument("--n-layers-D", type=int, default=None)
     a = p.parse_args(argv)
 
     from slrsfs_tpu.config import Options
@@ -126,7 +138,18 @@ def main(argv=None):
         FluidRegionloss=3.0 if slr else 0.0,
         RockRegionloss=30.0 if slr else 0.0,
         RockRegionlossDecay=20.0 if slr else 0.0,
+        random_ff_mask=a.random_ff_mask,
+        random_ff_mask_rate=a.random_ff_mask_rate,
     )
+    arch_overrides = {
+        "refine_model_type": a.refine_model_type,
+        "alpha_refine_model_type": a.alpha_refine_model_type,
+        "bg_refine_model_type": a.bg_refine_model_type,
+        "out_channel": a.out_channel,
+        "ndf": a.ndf, "num_D": a.num_D, "n_layers_D": a.n_layers_D,
+    }
+    opt = opt.replace(**{k: v for k, v in arch_overrides.items()
+                         if v is not None})
     os.makedirs(a.out, exist_ok=True)
     with open(os.path.join(a.out, "options.json"), "w") as f:
         f.write(opt.to_json())

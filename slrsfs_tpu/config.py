@@ -57,7 +57,7 @@ class Options:
     use_alpha0_as_blending_weight: bool = False
     use_mask_as_alpha_input: bool = False
     use_bg_as_alpha_input: bool = False
-    use_flow_as_alpha_input: bool = False
+    use_motion_as_alpha_input: bool = False  # reference flag name (:931)
     AKLloss: float = 0.0
     ATVloss: float = 0.0
     ADCloss: float = 0.0
@@ -68,8 +68,13 @@ class Options:
     RockRegionlossDecay: float = 0.0
     RockRegionlosstarget: float = 0.25
     AlphaMSEloss: float = 0.0
+    AlphaWeightDecay: float = 0.0  # per-epoch AlphaMSE decay (MSE driver :356)
     AlphaL1loss: float = 0.0
     balanced_weight: int = 1
+
+    # free-form occlusion augmentation (train_options.py:569-574)
+    random_ff_mask: bool = False
+    random_ff_mask_rate: float = 0.5
 
     # ---- motion regressor ---------------------------------------------------
     train_motion: bool = False  # embed a motion regressor in the fluid model

@@ -56,7 +56,8 @@ class LiquidDataset:
         self.rock_label_root = rock_label_root or os.path.join(root, "rock_label")
         self.no_flip = no_flip
         self.isval = split != "train"
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
         self._scan()
         self.with_mask = "mask" in variant
         self.with_mean = ("mask" in variant or "bg" in variant
@@ -83,22 +84,33 @@ class LiquidDataset:
     def totrain(self, epoch: int):
         self.split = "train"
         self.isval = False
-        self.rng = np.random.RandomState(epoch)
+        self.epoch = epoch
         self._scan()
 
     def toval(self, epoch: int):
         self.split = "validation"
         self.isval = True
-        self.rng = np.random.RandomState(epoch)
+        self.epoch = epoch
         self._scan()
 
     # ------------------------------------------------------------------
 
-    def _pick_scene(self) -> str:
+    def _sample_rng(self, index: int) -> np.random.RandomState:
+        """Sampling is a pure function of (seed, split, epoch, index) so
+        iteration is reproducible and independent of prefetch-consumption
+        timing (reference per-epoch reseeding contract,
+        eulerian_data.py:136-163)."""
+        mix = (self.seed * 0x9E3779B1
+               + self.epoch * 0x85EBCA77
+               + index * 0xC2B2AE3D
+               + (0x27D4EB2F if self.isval else 0)) & 0x7FFFFFFF
+        return np.random.RandomState(mix)
+
+    def _pick_scene(self, rng: np.random.RandomState) -> str:
         if (self.shallow is not None and not self.isval
-                and self.rng.randint(self.opt.balanced_weight) > 0):
-            return str(self.shallow[self.rng.randint(len(self.shallow))])
-        return self.scenes[self.rng.randint(len(self.scenes))]
+                and rng.randint(self.opt.balanced_weight) > 0):
+            return str(self.shallow[rng.randint(len(self.shallow))])
+        return self.scenes[rng.randint(len(self.scenes))]
 
     def _load_motion(self, scene: str) -> np.ndarray:
         base = os.path.join(self.root, self.split, scene + "_motion")
@@ -110,20 +122,21 @@ class LiquidDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         opt = self.opt
         W = opt.W
-        scene = self._pick_scene()
+        rng = self._sample_rng(index)
+        scene = self._pick_scene(rng)
         video = VideoReader(os.path.join(self.root, self.split, scene + "_gt.mp4"))
         # reference hardcodes 1280x720 with a 720^2 crop (eulerian_data.py:
         # 26-27,63); we probe the actual size so smaller fixtures work
         crop = min(720, video.height, video.width)
         params = None if self.isval else get_params(
-            self.rng, (video.width, video.height), crop, no_flip=self.no_flip)
+            rng, (video.width, video.height), crop, no_flip=self.no_flip)
         N = len(video)
-        start = self.rng.randint(0, max(N // 3, 1))
-        end = self.rng.randint(N // 3 * 2, N)
-        middle = self.rng.randint(start, end)
+        start = rng.randint(0, max(N // 3, 1))
+        end = rng.randint(N // 3 * 2, N)
+        middle = rng.randint(start, end)
         if self.two_view:
             # biased 2-view sampling (eulerian_data_bg.py:81-82)
-            pair = self.rng.randint(0, N, size=2)
+            pair = rng.randint(0, N, size=2)
             start, end = int(pair.min()), int(pair.max())
             middle = end
 
@@ -158,11 +171,20 @@ class LiquidDataset:
                 from slrsfs_tpu.data.hints import synthesize_hint_online
 
                 hint_raw, _ = synthesize_hint_online(
-                    motion, np.random.default_rng(self.rng.randint(2**31)))
+                    motion, np.random.default_rng(rng.randint(2**31)))
             else:
                 hint_raw = read_flo(os.path.join(
                     self.root, self.split, scene + "_sparse_motion.flo"))
             batch["hints"] = transform_flow(hint_raw, W, params, mode="bilinear")
+        if opt.random_ff_mask and not self.isval:
+            # free-form occlusion keep-mask applied to the splatted features
+            # (reference --random_ff_mask + rate, train_options.py:569-574,
+            # animating_softmax_splating.py:680-692)
+            from slrsfs_tpu.data.augment import ff_keep_mask
+
+            batch["ff_mask"] = ff_keep_mask(
+                np.random.default_rng(rng.randint(2**31)), W, W,
+                rate=opt.random_ff_mask_rate).astype(np.float32)
         return batch
 
     # ------------------------------------------------------------------

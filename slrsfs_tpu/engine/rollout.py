@@ -223,10 +223,28 @@ def gaussian_blur_region(mask: jax.Array, W: int) -> jax.Array:
     )
 
 
+def _alpha_extras(opt, img, flow, bg_img_raw, mask_rock):
+    """kwargs for SLRModel.alpha_encode per the use_*_as_alpha_input flags
+    (reference forward_flow :930-936). mask_rock defaults to zeros when a
+    checkpoint trained with the flag gets no mask at render time."""
+    kw = {}
+    if opt.use_motion_as_alpha_input:
+        kw["motion"] = flow[None].astype(img.dtype)
+    if opt.use_mask_as_alpha_input:
+        m = (mask_rock if mask_rock is not None
+             else jnp.zeros(flow.shape[:2] + (1,), jnp.float32))
+        if m.ndim == 3:
+            m = m[None]
+        kw["mask_rock"] = m.astype(img.dtype)
+    if opt.use_bg_as_alpha_input:
+        kw["bg_raw"] = bg_img_raw.astype(img.dtype)
+    return kw
+
+
 def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
                        positions, valid, bg_img_raw=None,
                        alpha_region=None, decode_batch: int = 20,
-                       compute_dtype=jnp.float32):
+                       compute_dtype=jnp.float32, mask_rock=None):
     """Two-layer SLR rollout (reference test_v1_4eval*.py driver semantics):
     encode + background + alpha head once, per frame symmetric double-ended
     splat of [features, fluid-alpha], decode fluid image and refined alpha,
@@ -242,7 +260,8 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
         # per-frame max-warp Z-norm needs the full grid — dense fallback
         return slr_rollout_dense(model, variables, img, flow, N,
                                  bg_img_raw=bg_img_raw,
-                                 alpha_region=alpha_region)
+                                 alpha_region=alpha_region,
+                                 mask_rock=mask_rock)
     H, W = flow.shape[0], flow.shape[1]
 
     if compute_dtype != jnp.float32:
@@ -263,7 +282,9 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
         bg_img_raw = model.apply(variables, img, method="bg")
     bg_tanh = jnp.tanh(bg_img_raw.astype(jnp.float32))
 
-    a_bg_logits, a_fl_logits = model.apply(variables, img, method="alpha_encode")
+    a_bg_logits, a_fl_logits = model.apply(
+        variables, img, method="alpha_encode",
+        **_alpha_extras(opt, img, flow, bg_img_raw, mask_rock))
     a_bg_sig = jax.nn.sigmoid(a_bg_logits.astype(jnp.float32))
 
     u, use_alpha0 = slr_pack_splat_input(
@@ -415,7 +436,7 @@ def warp_flow_rollout(img, flow, n_frames: int, positions, valid):
 
 
 def slr_rollout_dense(model, variables, img, flow, n_frames: int,
-                      bg_img_raw=None, alpha_region=None):
+                      bg_img_raw=None, alpha_region=None, mask_rock=None):
     """Dense SLR rollout supporting the per-frame v2 Z-normalization
     (maximum-warp-norm over the full grid, reference 2layers forward_flow
     :955-957) which the sparse path cannot reproduce exactly.
@@ -433,7 +454,9 @@ def slr_rollout_dense(model, variables, img, flow, n_frames: int,
     if bg_img_raw is None:
         bg_img_raw = model.apply(variables, img, method="bg")
     bg_tanh = jnp.tanh(bg_img_raw)
-    a_bg_logits, a_fl_logits = model.apply(variables, img, method="alpha_encode")
+    a_bg_logits, a_fl_logits = model.apply(
+        variables, img, method="alpha_encode",
+        **_alpha_extras(opt, img, flow, bg_img_raw, mask_rock))
     a_bg_sig = jax.nn.sigmoid(a_bg_logits)
 
     disp_f, _ = euler_integrate_all(flow, N - 1)

@@ -60,9 +60,11 @@ def make_lr_schedule(base_lr: float, niter: int, niter_decay: int,
 class Trainer:
     def __init__(self, opt: Options, model, steps_per_epoch: int = 500,
                  extra_losses_fn=None, task: str = "synthesis"):
-        """extra_losses_fn(opt, pred, synth_loss_fn) -> dict with
-        'Total Extra' — model-specific losses beyond synthesis+GAN (the SLR
-        alpha/background set lives in models/slr.py:slr_extra_losses).
+        """extra_losses_fn(opt, pred, synth_loss_fn, epoch=<traced scalar>)
+        -> dict with 'Total Extra' — model-specific losses beyond
+        synthesis+GAN (the SLR alpha/background set lives in
+        models/slr.py:slr_extra_losses). epoch = step // steps_per_epoch
+        drives the per-epoch loss-weight decays of the stage-3 drivers.
 
         task: 'synthesis' (baseline/SLR: recon target = middle image),
         'bg' (stage 2: target = mean video, reference base_model_bg.py),
@@ -70,6 +72,7 @@ class Trainer:
         reference base_model_motion.py)."""
         self.opt = opt
         self.model = model
+        self.steps_per_epoch = steps_per_epoch
         self.extra_losses_fn = extra_losses_fn
         self.task = task
         self.d_model = MultiscaleDiscriminator(opt)
@@ -177,7 +180,9 @@ class Trainer:
                 total = t_losses["Total Loss"]
                 logs = dict(t_losses)
                 if self.extra_losses_fn is not None:
-                    extra = self.extra_losses_fn(opt, pred, synth)
+                    extra = self.extra_losses_fn(
+                        opt, pred, synth,
+                        epoch=state.step // self.steps_per_epoch)
                     total = total + extra.pop("Total Extra")
                     logs.update(extra)
                 if use_d:

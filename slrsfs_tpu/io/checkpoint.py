@@ -89,7 +89,7 @@ def import_baseline_model(sd: Mapping, opt: Options) -> Dict[str, Dict]:
 
 def import_slr_model(sd: Mapping, opt: Options) -> Dict[str, Dict]:
     """state_dict → SLRModel variables."""
-    from slrsfs_tpu.models.slr import _alpha_opt
+    from slrsfs_tpu.models.slr import _alpha_opt, alpha_in_channels
 
     r = KeyReader(_clean_state_dict(sd))
     a_opt = _alpha_opt(opt)
@@ -99,7 +99,8 @@ def import_slr_model(sd: Mapping, opt: Options) -> Dict[str, Dict]:
         "net_bg": import_decoder_plain(r, "net_bg", opt,
                                        model_type=opt.bg_refine_model_type),
         "net_alpha_encoder": import_encoder(
-            r, "net_alpha_encoder", a_opt, in_channels=3, with_z=False),
+            r, "net_alpha_encoder", a_opt,
+            in_channels=alpha_in_channels(opt), with_z=False),
         "net_alpha_decoder": import_decoder_pconv2(r, "net_alpha_decoder", a_opt),
     }
     return split_collections(tree)
@@ -216,6 +217,128 @@ def import_checkpoint(path: str, model_type: Optional[str] = None):
     else:
         raise ValueError(opt.model_type)
     return variables, opt
+
+
+# ---------------------------------------------------------------------------
+# Torch optimizer-state import (Adam exp_avg / exp_avg_sq / step)
+# ---------------------------------------------------------------------------
+#
+# The reference restores BOTH optimizer states on --resume
+# (train_animating.py:270-288). Torch's Adam state_dict keys parameters by
+# their position in the ``parameters()`` list, which follows state_dict
+# registration order minus buffers — so the name list is recoverable from the
+# checkpoint's state_dict alone. Each moment tensor is mapped into the flax
+# param tree by substituting it for its weight in a synthetic state_dict and
+# re-running the SAME weight importer (identical key surgery + transposes).
+
+_BUFFER_SUFFIXES = (
+    "stored_mean", "stored_var", "accumulation_counter",
+    "weight_u", "weight_v", "num_batches_tracked",
+    "running_mean", "running_var",
+)
+
+
+def ordered_param_names(raw_sd: Mapping, prefix: str = "") -> list:
+    """Torch parameter names in ``parameters()`` order (buffers excluded)."""
+    return [k for k in raw_sd
+            if k.startswith(prefix)
+            and k.split(".")[-1] not in _BUFFER_SUFFIXES]
+
+
+def _moment_state_dict(raw_sd: Mapping, opt_sd: Mapping, prefix: str,
+                       field: str) -> Dict:
+    """Synthetic state_dict with each param replaced by its Adam moment
+    (zeros for params the optimizer never stepped, e.g. frozen VGG)."""
+    import torch
+
+    state = opt_sd["state"]
+    names = ordered_param_names(raw_sd, prefix)
+    out = dict(raw_sd)
+    for i, name in enumerate(names):
+        ent = state.get(i, state.get(str(i)))
+        if ent is not None and field in ent:
+            out[name] = ent[field]
+        else:
+            v = raw_sd[name]
+            out[name] = torch.zeros_like(v) if hasattr(v, "detach") else (
+                np.zeros_like(v))
+    return out
+
+
+def adam_step_count(opt_sd: Mapping) -> int:
+    for ent in opt_sd["state"].values():
+        s = ent.get("step", 0)
+        return int(s.item() if hasattr(s, "item") else s)
+    return 0
+
+
+def import_adam_moments(opt_sd: Mapping, raw_sd: Mapping,
+                        import_params_fn, prefix: str = ""):
+    """→ (mu, nu, count): Adam first/second moments as flax param trees.
+
+    import_params_fn(state_dict) must return the ``params`` tree exactly as
+    the weight import does (e.g. ``lambda sd: import_baseline_model(sd, opt)
+    ["params"]``)."""
+    mu = import_params_fn(_moment_state_dict(raw_sd, opt_sd, prefix, "exp_avg"))
+    nu = import_params_fn(
+        _moment_state_dict(raw_sd, opt_sd, prefix, "exp_avg_sq"))
+    return mu, nu, adam_step_count(opt_sd)
+
+
+def restore_adam_state(tx_state, mu, nu, count: int):
+    """Graft imported moments into a fresh ``tx.init(params)`` state. All
+    ``count`` fields (Adam bias correction AND any LR-schedule counters) are
+    advanced to ``count`` so resumed dynamics continue mid-schedule."""
+    import jax.numpy as jnp
+    import optax
+
+    c = jnp.asarray(count, jnp.int32)
+
+    def walk(st):
+        if isinstance(st, optax.ScaleByAdamState):
+            return st._replace(count=c, mu=mu, nu=nu)
+        if type(st) is tuple:
+            return tuple(walk(s) for s in st)
+        if hasattr(st, "_fields") and "count" in st._fields:
+            return st._replace(count=c)
+        return st
+
+    return walk(tx_state)
+
+
+def import_optimizer_states(ckpt: Mapping, opt: Options,
+                            tx_g, g_params, tx_d=None, d_params=None):
+    """Reference checkpoint → (opt_g_state, opt_d_state_or_None, step).
+
+    optimizerG covers ``model.module.*`` params (base_model.py:20-37);
+    optimizerD covers ``netD.*``. Moments pass through the model-type's
+    weight importer so key surgery and layout transposes match exactly."""
+    raw_sd = ckpt["state_dict"]
+
+    if opt.model_type == "softmax_splating":
+        g_fn = lambda sd: import_baseline_model(sd, opt)["params"]  # noqa: E731
+    elif opt.model_type == "softmax_splating_2layers_alpha_seperate":
+        g_fn = lambda sd: import_slr_model(sd, opt)["params"]  # noqa: E731
+    elif opt.model_type in ("SPADE_unet_mask_motion", "unet_motion"):
+        g_fn = lambda sd: import_motion_model(sd, opt)["params"]  # noqa: E731
+    elif opt.model_type == "bg":
+        g_fn = lambda sd: import_bg_model(sd, opt)["params"]  # noqa: E731
+    else:
+        raise ValueError(opt.model_type)
+
+    # G params live under the BaseModel's self.model (DataParallel) subtree
+    g_prefix = "model." if any(k.startswith("model.") for k in raw_sd) else ""
+    mu, nu, count = import_adam_moments(
+        ckpt["optimizerG"], raw_sd, g_fn, prefix=g_prefix)
+    opt_g = restore_adam_state(tx_g.init(g_params), mu, nu, count)
+
+    opt_d = None
+    if tx_d is not None and "optimizerD" in ckpt:
+        d_fn = lambda sd: import_discriminator(sd, opt)["params"]  # noqa: E731
+        mu_d, nu_d, count_d = import_adam_moments(
+            ckpt["optimizerD"], raw_sd, d_fn, prefix="netD.")
+        opt_d = restore_adam_state(tx_d.init(d_params), mu_d, nu_d, count_d)
+    return opt_g, opt_d, count
 
 
 # ---------------------------------------------------------------------------

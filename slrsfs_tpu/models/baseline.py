@@ -225,7 +225,7 @@ class BaselineMotionTrainable(BaselineTrainable):
         return gen_img, pred
 
 
-def baseline_motion_extra_losses(opt, pred, synth_loss_fn=None):
+def baseline_motion_extra_losses(opt, pred, synth_loss_fn=None, epoch=None):
     """Motion losses joining the fluid total (reference :748-754)."""
     from slrsfs_tpu.losses.synthesis import MotionLoss
 

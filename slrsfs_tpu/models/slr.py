@@ -60,6 +60,38 @@ def _alpha_opt(opt: Options) -> Options:
     )
 
 
+def alpha_in_channels(opt: Options) -> int:
+    """Alpha-encoder input width: image + optional [motion(2), mask(1),
+    bg_raw(3)] (reference 2layers file :375-385 / forward_flow :930-936)."""
+    n = 3
+    if opt.use_motion_as_alpha_input:
+        n += 2
+    if opt.use_mask_as_alpha_input:
+        n += 1
+    if opt.use_bg_as_alpha_input:
+        n += 3
+    return n
+
+
+def build_alpha_input(opt: Options, img: Array,
+                      motion: Optional[Array] = None,
+                      mask_rock: Optional[Array] = None,
+                      bg_raw: Optional[Array] = None) -> Array:
+    """Concatenate the alpha-encoder inputs in reference order
+    (img, +motion, +mask, +bg_raw — :375-385). bg_raw is PRE-Tanh (:371)."""
+    parts = [img]
+    if opt.use_motion_as_alpha_input:
+        assert motion is not None, "use_motion_as_alpha_input needs motion"
+        parts.append(motion)
+    if opt.use_mask_as_alpha_input:
+        assert mask_rock is not None, "use_mask_as_alpha_input needs mask_rock"
+        parts.append(mask_rock)
+    if opt.use_bg_as_alpha_input:
+        assert bg_raw is not None, "use_bg_as_alpha_input needs bg_raw"
+        parts.append(bg_raw)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
 class SLRModel(nn.Module):
     opt: Options
 
@@ -68,7 +100,8 @@ class SLRModel(nn.Module):
         self.projector = ResNetDecoderPconv2(self.opt)
         self.net_bg = ResNetBGDecoder(self.opt)
         a_opt = _alpha_opt(self.opt)
-        self.net_alpha_encoder = ResNetEncoder(a_opt, in_channels=3)
+        self.net_alpha_encoder = ResNetEncoder(
+            a_opt, in_channels=alpha_in_channels(self.opt))
         self.net_alpha_decoder = ResNetDecoderPconv2(a_opt)
 
     # ---- pieces ----------------------------------------------------------
@@ -86,11 +119,26 @@ class SLRModel(nn.Module):
         sites, forward_flow :925-927)."""
         return self.net_bg(img, train, deterministic)
 
+    def alpha_encode_raw(self, img: Array, train: bool = False,
+                         deterministic: bool = True,
+                         motion: Optional[Array] = None,
+                         mask_rock: Optional[Array] = None,
+                         bg_raw: Optional[Array] = None) -> Array:
+        """Full alpha-encoder output (2 channels, 3 with AKLloss: channel 2
+        is the alpha logsigma, :411-413). Extra inputs per the
+        use_{motion,mask,bg}_as_alpha_input flags (:375-385)."""
+        x = build_alpha_input(self.opt, img, motion, mask_rock, bg_raw)
+        return self.net_alpha_encoder(x, train, deterministic)
+
     def alpha_encode(self, img: Array, train: bool = False,
-                     deterministic: bool = True) -> Tuple[Array, Array]:
+                     deterministic: bool = True,
+                     motion: Optional[Array] = None,
+                     mask_rock: Optional[Array] = None,
+                     bg_raw: Optional[Array] = None) -> Tuple[Array, Array]:
         """→ (alpha_bg_logits, alpha_fluid_logits), each (B, W, W, 1)
         (forward_flow :938-946, channel order [bg, fluid])."""
-        out = self.net_alpha_encoder(img, train, deterministic)
+        out = self.alpha_encode_raw(img, train, deterministic,
+                                    motion, mask_rock, bg_raw)
         return out[..., 0:1], out[..., 1:2]
 
     def decode_fluid(self, gen_fs: Array, train: bool = False,
@@ -109,7 +157,13 @@ class SLRModel(nn.Module):
         fs, z = self.encode(img, train, deterministic)
         fluid = self.decode_fluid(fs, train, deterministic)
         bg = self.bg(img, train, deterministic)
-        a_bg, a_fl = self.alpha_encode(img, train, deterministic)
+        B, H, W = img.shape[0], img.shape[1], img.shape[2]
+        a_bg, a_fl = self.alpha_encode(
+            img, train, deterministic,
+            motion=jnp.zeros((B, H, W, 2), img.dtype),
+            mask_rock=jnp.zeros((B, H, W, 1), img.dtype),
+            bg_raw=bg,
+        )
         ga = self.decode_alpha(fs, a_fl, train, deterministic)
         return fluid, bg, a_bg, ga
 
@@ -246,10 +300,13 @@ class SLRTrainable(SLRModel):
         bg_raw = self.bg(start_img, train, deterministic)
         bg_tanh = jnp.tanh(bg_raw)
 
-        a_bg_logits_f, a_fl_logits_f = self.alpha_encode(
-            start_img, train, deterministic)
-        a_bg_logits_p, a_fl_logits_p = self.alpha_encode(
-            end_img, train, deterministic)
+        # both views share the start view's motion/mask/bg extras (:375-385)
+        extras = dict(motion=flow, mask_rock=mask_rock, bg_raw=bg_raw)
+        out_f = self.alpha_encode_raw(start_img, train, deterministic,
+                                      **extras)
+        out_p = self.alpha_encode_raw(end_img, train, deterministic, **extras)
+        a_bg_logits_f, a_fl_logits_f = out_f[..., 0:1], out_f[..., 1:2]
+        a_bg_logits_p, a_fl_logits_p = out_p[..., 0:1], out_p[..., 1:2]
         a_bg_sig_f = jax.nn.sigmoid(a_bg_logits_f)
 
         # composite fluid alpha of frame 0 (reference :420-421)
@@ -333,17 +390,32 @@ class SLRTrainable(SLRModel):
             "Z_f": zn_f,
             "GTMotion": flow,
         }
+        if opt.AKLloss > 0.0:
+            # clamped logsigma channel (:411-413); the KL term itself is
+            # commented out in the reference (:609-615) so only the extra
+            # encoder channel and this tensor are live
+            pred["AlphaLogSigma"] = jnp.clip(out_p[..., 2:3], -50.0, 50.0)
         return gen_img, pred
+
+
+def decayed_weight(base: float, decay: float, epoch) -> Array:
+    """Per-epoch multiplicative loss-weight decay: the shipped stage-3
+    drivers do ``w -= w / decay`` after every epoch
+    (train_animating_..._L1.py:356-358, ..._MSE.py:356-357), i.e.
+    w(e) = w0 · (1 − 1/decay)^e."""
+    return base * jnp.power(1.0 - 1.0 / decay, epoch)
 
 
 def slr_extra_losses(opt: Options, pred: Dict[str, Array],
                      synth_loss_fn=None,
-                     rock_weight: Optional[Array] = None) -> Dict[str, Array]:
+                     rock_weight: Optional[Array] = None,
+                     epoch: Optional[Array] = None) -> Dict[str, Array]:
     """The SLR loss set on top of the synthesis loss (reference :658-765).
 
-    rock_weight: optionally overrides opt.RockRegionloss (the shipped driver
-    decays it per epoch, train_animating_..._L1.py:356-358).
-    Returns dict including 'Total Extra'.
+    rock_weight: optionally overrides opt.RockRegionloss. epoch (a traced
+    scalar from the trainer) drives the per-epoch RockRegion/FluidRegion
+    decay (opt.RockRegionlossDecay) and AlphaMSE decay (opt.AlphaWeightDecay)
+    of the shipped stage-3 drivers. Returns dict including 'Total Extra'.
     """
     out: Dict[str, Array] = {}
     total = 0.0
@@ -353,10 +425,20 @@ def slr_extra_losses(opt: Options, pred: Dict[str, Array],
     comp_i0 = pred["CompositeFluidAlpha_I0"]
     gt_alpha = pred["GTAlpha"]
 
+    alpha_mse_w: Array = opt.AlphaMSEloss
+    fluid_w: Array = opt.FluidRegionloss
+    rock_decay_on = epoch is not None and opt.RockRegionlossDecay > 0.0
+    if epoch is not None and opt.AlphaWeightDecay > 0.0:
+        alpha_mse_w = decayed_weight(opt.AlphaMSEloss, opt.AlphaWeightDecay,
+                                     epoch)
+    if rock_decay_on:
+        fluid_w = decayed_weight(opt.FluidRegionloss, opt.RockRegionlossDecay,
+                                 epoch)
+
     if opt.AlphaMSEloss > 0.0:
         v = jnp.mean(jnp.square(comp_i0 * moving - gt_alpha * moving))
         out["AlphaMSEloss"] = v
-        total = total + v * opt.AlphaMSEloss
+        total = total + v * alpha_mse_w
     if opt.AlphaL1loss > 0.0:
         v = jnp.mean(smooth_l1(comp_i0 * moving, gt_alpha * moving))
         out["AlphaL1loss"] = v
@@ -376,8 +458,10 @@ def slr_extra_losses(opt: Options, pred: Dict[str, Array],
         m = (1.0 - rock) * moving
         v = jnp.mean(smooth_l1(comp_i0 * m, jnp.ones_like(comp_i0) * m))
         out["FluidRegionLoss"] = v
-        total = total + v * opt.FluidRegionloss
+        total = total + v * fluid_w
     rw = opt.RockRegionloss if rock_weight is None else rock_weight
+    if rock_weight is None and rock_decay_on:
+        rw = decayed_weight(opt.RockRegionloss, opt.RockRegionlossDecay, epoch)
     if (rock_weight is not None) or opt.RockRegionloss > 0.0:
         m = rock * moving
         v = jnp.mean(

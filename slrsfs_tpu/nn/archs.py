@@ -108,6 +108,29 @@ def get_resnet_arch(model_type: str, opt: Options, in_channels: int = 3) -> Dict
             upsample=["Down", "Down", False, "Up", "Up"],
             activation=["Relu"] * 5,
         )
+    if setup == "TinyTest":
+        # TEST-ONLY setup (no reference analog): 2-block encoder/decoder
+        # preserving the encoder(+Z)/pconv-decoder plumbing at a fraction of
+        # the compile cost. Feature width is ngf (tests set out_channel =
+        # ngf + 1 so the Z split works); used by trainer/engine mechanics
+        # tests, never by parity tests.
+        return dict(
+            layers_enc=[in_channels, ngf, opt.out_channel],
+            downsample=[False, False],
+            layers_dec=[ngf + opt.addtional_decoder_input, ngf,
+                        3 + opt.addtional_decoder_output],
+            upsample=[False, False],
+            activation=["Relu", "Relu"],
+        )
+    if setup == "TinyTestBG":
+        # TEST-ONLY decoder-only table (image in, image out).
+        return dict(
+            layers_enc=None,
+            downsample=[False, False],
+            layers_dec=[3, ngf, 3],
+            upsample=[False, False],
+            activation=["Relu", "Relu"],
+        )
     if setup == "256W4UpDown64Motion":
         # reference configs.py:502-538 — small motion encoder/decoder.
         return dict(

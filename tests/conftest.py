@@ -17,11 +17,37 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is compile-bound on CPU, and
+# most test programs are identical across runs. Keyed by HLO hash, so source
+# edits that change the program safely miss.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu", jax.devices()
+
+
+def tiny_options(**kw):
+    """Minimal-compile Options for trainer/engine MECHANICS tests (2-block
+    TinyTest archs, small D). Parity tests must keep the real reference
+    archs — never use this there."""
+    from slrsfs_tpu.config import Options
+
+    base = dict(
+        ngf=8, out_channel=9, W=16,
+        refine_model_type="resnet_TinyTest_de_resnet_pconv2_nonorm",
+        alpha_refine_model_type="resnet_TinyTest_de_resnet_pconv2_nonorm",
+        bg_refine_model_type="resnet_TinyTestBG_nonorm",
+        ndf=8, num_D=1, n_layers_D=2,
+    )
+    base.update(kw)
+    return Options(**base)
 
 
 import pytest as _pytest  # noqa: E402

@@ -150,8 +150,10 @@ def test_orbax_roundtrip(tmp_path):
     from slrsfs_tpu.models.baseline import BaselineTrainable
     from test_trainer import _tiny_batch
 
+    from conftest import tiny_options
+
     rng = np.random.default_rng(3)
-    opt = Options(ngf=16, W=32, batch_size=2)
+    opt = tiny_options(W=32, batch_size=2)
     model = BaselineTrainable(opt, train_max_steps=4)
     trainer = Trainer(opt, model, steps_per_epoch=10)
     batch = _tiny_batch(rng)
@@ -161,10 +163,74 @@ def test_orbax_roundtrip(tmp_path):
     save_native(path, state, opt, epoch=3, extra={"best_loss": 0.5})
     restored, meta = restore_native(path, jax.tree.map(np.asarray, state))
     assert meta["epoch"] == 3 and meta["best_loss"] == 0.5
-    assert meta["opts"]["ngf"] == 16
+    assert meta["opts"]["ngf"] == opt.ngf
     l0 = jax.tree.leaves(state.g_params)[0]
     l1 = jax.tree.leaves(restored.g_params)[0]
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+
+def test_import_optimizer_state_adam():
+    """Torch→optax Adam state import (train_animating.py:270-288 resume
+    contract): after importing weights + exp_avg/exp_avg_sq/step, one optax
+    step with identical (importer-mapped) grads reproduces torch's next Adam
+    step on every parameter."""
+    import optax
+
+    from slrsfs_tpu.io.checkpoint import (
+        import_adam_moments,
+        import_baseline_model,
+        restore_adam_state,
+    )
+
+    topt = ref_opt()
+    arch = get_resnet_arch(OPT.refine_model_type, OPT, 3)
+    m = tnn.Module()
+    m.encoder = make_torch_encoder_with_z(arch, topt)
+    m.projector = make_torch_decoder_pconv2(arch, topt)
+
+    lr, b1, b2 = 1e-3, 0.0, 0.9
+    adam = torch.optim.Adam(m.parameters(), lr=lr, betas=(b1, b2))
+    torch.manual_seed(11)
+    grads = {k: torch.randn_like(p) * 0.01 for k, p in m.named_parameters()}
+    for _ in range(3):
+        for k, p in m.named_parameters():
+            p.grad = grads[k].clone()
+        adam.step()
+
+    raw_sd = {f"model.module.{k}": v.detach().clone()
+              for k, v in m.state_dict().items()}
+    ckpt = {"state_dict": raw_sd, "optimizerG": adam.state_dict()}
+
+    def g_fn(sd):
+        return import_baseline_model(sd, OPT)["params"]
+
+    params = g_fn(raw_sd)
+    mu, nu, count = import_adam_moments(
+        ckpt["optimizerG"], raw_sd, g_fn, prefix="model.")
+    assert count == 3
+    tx = optax.adam(lr, b1=b1, b2=b2)
+    st = restore_adam_state(tx.init(params), mu, nu, count)
+
+    grad_sd = dict(raw_sd)
+    for k in grads:
+        grad_sd[f"model.module.{k}"] = grads[k]
+    g_tree = g_fn(grad_sd)
+
+    updates, _ = tx.update(g_tree, st, params)
+    got = optax.apply_updates(params, updates)
+
+    # torch takes its 4th step with the same grads
+    for k, p in m.named_parameters():
+        p.grad = grads[k].clone()
+    adam.step()
+    want = g_fn({f"model.module.{k}": v for k, v in m.state_dict().items()})
+
+    flat_got = jax.tree.leaves(got)
+    flat_want = jax.tree.leaves(want)
+    assert len(flat_got) == len(flat_want) and flat_got
+    for a, b in zip(flat_got, flat_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
 
 
 def test_import_motion_checkpoint(tmp_path):

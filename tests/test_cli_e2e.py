@@ -24,11 +24,13 @@ def test_render_then_eval(fixture_root, tmp_path):
     vr.close()
 
     save_dir = str(tmp_path / "out")
+    tiny = dict(ngf=8, out_channel=9,
+                refine_model_type="resnet_TinyTest_de_resnet_pconv2_nonorm")
     out = render_scene(
         img_path,
         os.path.join(fixture_root, "train", f"{scene}_motion.npz"),
         save_dir, ckpt=None, name=scene, W=32, n_frames=12,
-        decode_batch=4,
+        decode_batch=4, opt_overrides=tiny,
     )
     pred_dir = os.path.join(out, "PredImg")
     frames = sorted(os.listdir(pred_dir))
@@ -70,7 +72,11 @@ def test_train_cli_one_epoch(fixture_root, tmp_path):
     train_cli.main([
         "--data-root", fixture_root, "--out", out,
         "--model-type", "softmax_splating",
-        "--batch-size", "2", "--W", "32", "--ngf", "16",
+        "--batch-size", "2", "--W", "32", "--ngf", "8",
+        "--out-channel", "9",
+        "--refine-model-type", "resnet_TinyTest_de_resnet_pconv2_nonorm",
+        "--bg-refine-model-type", "resnet_TinyTestBG_nonorm",
+        "--ndf", "8", "--num-D", "1", "--n-layers-D", "2",
         "--niter", "1", "--niter-decay", "0",
         "--steps-per-epoch", "2", "--val-steps", "1",
     ])

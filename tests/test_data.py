@@ -151,3 +151,51 @@ def test_model_registry_and_options_roundtrip():
     opt = Options(ngf=32, losses=("2.0_l1",), use_softmax_splatter_v2=True)
     opt2 = Options.from_json(opt.to_json())
     assert opt2 == opt
+
+
+def test_dataset_sampling_deterministic(fixture_root):
+    """Sampling is a pure function of (seed, split, epoch, index): two
+    iterations over the same epoch yield identical batches regardless of
+    prefetch timing; a different epoch yields different samples (reference
+    per-epoch reseeding contract, eulerian_data.py:136-163)."""
+    opt = Options(W=32, dataset="eulerian_data")
+    ds = get_dataset(opt, fixture_root, split="train", seed=5)
+    ds.totrain(epoch=2)
+    a = [ds[i] for i in range(4)]
+    b1 = list(ds.batches(batch_size=2, num_batches=2))
+    ds.totrain(epoch=2)
+    a2 = [ds[i] for i in range(4)]
+    b2 = list(ds.batches(batch_size=2, num_batches=2))
+    for x, y in zip(a, a2):
+        np.testing.assert_array_equal(x["images"][0], y["images"][0])
+        np.testing.assert_array_equal(x["motions"], y["motions"])
+        np.testing.assert_array_equal(x["index"], y["index"])
+    for x, y in zip(b1, b2):
+        np.testing.assert_array_equal(x["images"][1], y["images"][1])
+    ds.totrain(epoch=3)
+    c = [ds[i] for i in range(4)]
+    assert any(not np.array_equal(x["images"][0], y["images"][0])
+               for x, y in zip(a, c))
+
+
+def test_dataset_ff_mask(fixture_root):
+    """--random_ff_mask wiring: train samples carry a (W, W, 1) keep-mask in
+    {0,1}; val samples never do (train_options.py:569-574)."""
+    opt = Options(W=32, dataset="eulerian_data", random_ff_mask=True,
+                  random_ff_mask_rate=1.0)
+    ds = get_dataset(opt, fixture_root, split="train", seed=1)
+    s = ds[0]
+    m = s["ff_mask"]
+    assert m.shape == (32, 32, 1) and m.dtype == np.float32
+    assert set(np.unique(m)).issubset({0.0, 1.0})
+    assert (m == 0).any()  # rate=1.0 always draws strokes
+    b = next(ds.batches(batch_size=2, num_batches=1))
+    assert b["ff_mask"].shape == (2, 32, 32, 1)
+    ds.toval(0)
+    assert "ff_mask" not in ds[0]
+    # rate=0 -> all-keep mask is still emitted but trivial? No: reference
+    # draws per-sample; with rate 0 the mask is all ones
+    opt0 = Options(W=32, dataset="eulerian_data", random_ff_mask=True,
+                   random_ff_mask_rate=0.0)
+    ds0 = get_dataset(opt0, fixture_root, split="train", seed=1)
+    assert (ds0[0]["ff_mask"] == 1.0).all()

@@ -4,7 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from slrsfs_tpu.config import Options
+from conftest import tiny_options
 from slrsfs_tpu.engine.init_utils import settle
 from slrsfs_tpu.engine.rollout import prepare_scene_sparse, slr_rollout_sparse
 from slrsfs_tpu.engine.trainer import Trainer
@@ -13,14 +13,14 @@ from slrsfs_tpu.models.slr import SLRModel, SLRTrainable, slr_extra_losses
 
 def _opt(**kw):
     base = dict(
-        ngf=16, W=32,
         model_type="softmax_splating_2layers_alpha_seperate",
         use_alpha0_as_blending_weight=True,
         ATVloss=0.3, ADCloss=1.0, FluidRegionloss=3.0,
         RockRegionloss=30.0, MVloss=1.0, AlphaL1loss=1.0,
     )
+    base.setdefault("W", 32)
     base.update(kw)
-    return Options(**base)
+    return tiny_options(**base)
 
 
 def _init_slr(model, img):
@@ -135,3 +135,89 @@ def test_slr_dense_matches_sparse_and_v2_runs():
         model_v2, variables, jnp.asarray(img), jnp.asarray(flow), N,
         jnp.asarray(pos), jnp.asarray(valid), decode_batch=2)
     assert np.isfinite(np.asarray(out["PredImg"])).all()
+
+
+def test_alpha_input_variants_and_akl():
+    """use_{motion,mask,bg}_as_alpha_input widen the alpha encoder
+    (reference 2layers :375-385) and AKLloss>0 adds the clamped logsigma
+    channel (:411-413). NOTE the reference's own constructor is broken for
+    these flags (get_alpha_encoder hardcodes channels_in=3); we wire the
+    channel count correctly — see GAPS.md."""
+    from slrsfs_tpu.models.slr import alpha_in_channels
+
+    rng = np.random.default_rng(41)
+    B, H, W = 1, 16, 16
+    opt = _opt(W=W, use_motion_as_alpha_input=True,
+               use_mask_as_alpha_input=True, use_bg_as_alpha_input=True,
+               AKLloss=0.1)
+    assert alpha_in_channels(opt) == 3 + 2 + 1 + 3
+    model = SLRTrainable(opt, train_max_steps=2)
+    idx = np.zeros((B, 3), np.int32)
+    idx[:, 1], idx[:, 2] = 1, 2
+    batch = {
+        "images": [jnp.asarray(rng.standard_normal((B, H, W, 3)) * 0.25,
+                               jnp.float32) for _ in range(3)],
+        "index": jnp.asarray(idx),
+        "motions": jnp.asarray(
+            rng.standard_normal((B, H, W, 2)) * 0.5, jnp.float32),
+        "mask_rock": jnp.zeros((B, H, W, 1), jnp.float32),
+        "mean_video": jnp.zeros((B, H, W, 3), jnp.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        batch, True, False, method=model.forward_train)
+    gen, pred = model.apply(variables, batch, False, True,
+                            method=model.forward_train)
+    assert gen.shape == (B, H, W, 3)
+    assert pred["AlphaLogSigma"].shape == (B, H, W, 1)
+    assert np.abs(np.asarray(pred["AlphaLogSigma"])).max() <= 50.0
+    # encoder first conv consumes 9 channels
+    k = variables["params"]["net_alpha_encoder"]
+    leaf = jax.tree.leaves(k)[0]
+    assert any(a.shape[-2] == 9 for a in jax.tree.leaves(k)
+               if getattr(a, "ndim", 0) == 4)
+
+
+def test_per_epoch_loss_weight_decay():
+    """Stage-3 per-epoch decay: w(e) = w0·(1−1/D)^e for RockRegion AND
+    FluidRegion (L1 driver :356-358), AlphaMSE via AlphaWeightDecay
+    (MSE driver :356-357)."""
+    from slrsfs_tpu.models.slr import decayed_weight
+
+    np.testing.assert_allclose(float(decayed_weight(30.0, 20.0, 0)), 30.0)
+    np.testing.assert_allclose(float(decayed_weight(30.0, 20.0, 1)),
+                               30.0 - 30.0 / 20.0)
+    w = 30.0
+    for _ in range(5):
+        w = w - w / 20.0
+    np.testing.assert_allclose(float(decayed_weight(30.0, 20.0, 5)), w,
+                               rtol=1e-6)
+
+    # wired through slr_extra_losses: the weighted total shrinks with epoch
+    B, H, W = 1, 8, 8
+    ones = jnp.ones((B, H, W, 1))
+    pred = {
+        "SmallMotionAlpha": jnp.zeros((B, H, W, 1)),
+        "RockMask": ones,
+        "CompositeFluidAlpha_I0": ones * 0.9,
+        "GTAlpha": ones * 0.25,
+        "AlphaFluidLogits_f": jnp.zeros((B, H, W, 1)),
+        "AlphaBG_f": jnp.zeros((B, H, W, 1)),
+        "AlphaFluidWarped": jnp.zeros((B, H, W, 1)),
+        "AlphaFluidMask": ones,
+        "GenFluidAlphaRaw": jnp.zeros((B, H, W, 1)),
+    }
+    opt = _opt(AlphaL1loss=0.0, ATVloss=0.0, ADCloss=0.0, MVloss=0.0,
+               FluidRegionloss=0.0, RockRegionloss=30.0,
+               RockRegionlossDecay=20.0)
+    t0 = float(slr_extra_losses(opt, pred, epoch=jnp.asarray(0))["Total Extra"])
+    t5 = float(slr_extra_losses(opt, pred, epoch=jnp.asarray(5))["Total Extra"])
+    assert t5 < t0
+    np.testing.assert_allclose(t5 / t0, (1 - 1 / 20.0) ** 5, rtol=1e-5)
+    # AlphaMSE decay
+    opt2 = _opt(AlphaL1loss=0.0, ATVloss=0.0, ADCloss=0.0, MVloss=0.0,
+                FluidRegionloss=0.0, RockRegionloss=0.0,
+                AlphaMSEloss=5.0, AlphaWeightDecay=10.0)
+    m0 = float(slr_extra_losses(opt2, pred, epoch=jnp.asarray(0))["Total Extra"])
+    m3 = float(slr_extra_losses(opt2, pred, epoch=jnp.asarray(3))["Total Extra"])
+    np.testing.assert_allclose(m3 / m0, (1 - 1 / 10.0) ** 3, rtol=1e-5)

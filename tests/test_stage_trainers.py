@@ -4,7 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from slrsfs_tpu.config import Options
+from conftest import tiny_options
 from slrsfs_tpu.engine.trainer import Trainer
 from slrsfs_tpu.models.motion import MotionRegressor
 from slrsfs_tpu.models.slr import BackgroundModel
@@ -13,7 +13,7 @@ from slrsfs_tpu.models.slr import BackgroundModel
 def test_bg_stage_train_step():
     rng = np.random.default_rng(0)
     B, H, W = 2, 32, 32
-    opt = Options(ngf=16, W=W, batch_size=B, model_type="bg", MVloss=1.0)
+    opt = tiny_options(W=W, batch_size=B, model_type="bg", MVloss=1.0)
     model = BackgroundModel(opt)
     trainer = Trainer(opt, model, steps_per_epoch=10, task="bg")
     batch = {
@@ -38,8 +38,8 @@ def test_bg_stage_train_step():
 def test_motion_gan_train_step():
     rng = np.random.default_rng(1)
     B, H = 2, 256
-    opt = Options(
-        ngf=16, W=H, motionH=H, motionW=H, batch_size=B,
+    opt = tiny_options(
+        W=H, motionH=H, motionW=H, batch_size=B,
         model_type="SPADE_unet_mask_motion",
         motion_losses=("10.0_EndPointError",), div_flow=1.0,
     )
@@ -75,8 +75,8 @@ def test_fixmotion_finetune_step():
     rng = np.random.default_rng(2)
     B = 1
     H = 256  # SPADE UNet needs 256^2
-    opt = Options(
-        ngf=16, W=H, motionH=H, motionW=H, batch_size=B,
+    opt = tiny_options(
+        W=H, motionH=H, motionW=H, batch_size=B,
         train_motion=True, freeze_motion=True,
         motion_losses=("10.0_EndPointError",), div_flow=1.0,
     )

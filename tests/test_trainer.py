@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from slrsfs_tpu.config import Options
+from conftest import tiny_options
 from slrsfs_tpu.engine.trainer import Trainer
 from slrsfs_tpu.models.baseline import BaselineTrainable
 
@@ -29,7 +29,7 @@ def _tiny_batch(rng, B=2, H=32, W=32):
 
 def test_train_step_updates_and_finite():
     rng = np.random.default_rng(0)
-    opt = Options(ngf=16, W=32, batch_size=2)
+    opt = tiny_options(W=32, batch_size=2)
     model = BaselineTrainable(opt, train_max_steps=4)
     trainer = Trainer(opt, model, steps_per_epoch=10)
     batch = _tiny_batch(rng)
@@ -57,6 +57,59 @@ def test_train_step_updates_and_finite():
     assert int(state2.step) == 2
 
 
+def test_8device_vs_1device_train_step_equivalence():
+    """One sharded train step over the 8-device mesh equals the single-device
+    step on the same batch: params, BN batch_stats, and losses. This is the
+    quantitative SyncBN-via-sharding claim (replacing reference
+    models/networks/sync_batchnorm/batchnorm.py:67-124): BN moments are plain
+    jnp.mean over the globally-sharded batch, so XLA all-reduces them."""
+    from slrsfs_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(3)
+    B = 8
+    opt = tiny_options(W=32, batch_size=B)
+    model = BaselineTrainable(opt, train_max_steps=4)
+    trainer = Trainer(opt, model, steps_per_epoch=10)
+    # SGD for the equivalence check: Adam's first-step update is sign(g)·lr,
+    # so a reduction-order sign flip of a ~0 gradient moves a param by a full
+    # 2·lr — ill-conditioned for cross-sharding comparison. SGD params are
+    # params − lr·g, directly proportional to the (SyncBN-sensitive) grads.
+    trainer.tx_g = optax.sgd(1e-3)
+    trainer.tx_d = optax.sgd(1e-3)
+    batch = _tiny_batch(rng, B=B)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    step = jax.jit(trainer.make_train_step())
+    key = jax.random.PRNGKey(1)
+    want_state, want_logs = step(state, batch, key)
+
+    mesh = make_mesh(8)
+    got_state, got_logs = step(
+        replicate(state, mesh),
+        shard_batch(batch, mesh, batch_size=B),
+        jax.device_put(key, NamedSharding(mesh, P())),
+    )
+    assert len(jax.tree.leaves(got_state.g_params)[0].sharding.device_set) == 8
+
+    for name, a, b in (
+        ("g_params", want_state.g_params, got_state.g_params),
+        ("g_stats", want_state.g_stats, got_state.g_stats),
+        ("d_params", want_state.d_params, got_state.d_params),
+    ):
+        fa, fb = jax.tree.leaves(a), jax.tree.leaves(b)
+        assert len(fa) == len(fb) and fa, name
+        for x, y in zip(fa, fb):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-5,
+                err_msg=name)
+    for k in want_logs:
+        np.testing.assert_allclose(
+            np.asarray(want_logs[k]), np.asarray(got_logs[k]),
+            rtol=1e-4, atol=1e-4, err_msg=k)
+
+
 def test_dryrun_multichip_8():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
@@ -79,7 +132,7 @@ def test_frame_sharded_rollout_matches_sparse():
     rng = np.random.default_rng(7)
     H = W = 32
     N = 8
-    opt = Options(ngf=16, W=W)
+    opt = tiny_options(W=W)
     from slrsfs_tpu.models.baseline import BaselineModel
 
     model = BaselineModel(opt)
