@@ -103,7 +103,10 @@ import numpy as np
 
 from slrsfs_tpu.ops import euler_integrate_compact
 # quad-packed scatter: one update row per source pixel (ops/splat.py)
-from slrsfs_tpu.ops.splat import softsplat_sum_at_quad as softsplat_sum_at
+from slrsfs_tpu.ops.splat import (
+    softsplat_sum_at_quad as softsplat_sum_at,
+    softsplat_sum_at_quad_dual,
+)
 
 
 def prepare_scene_sparse(flow_np, pad_multiple: int = 1024):
@@ -170,9 +173,10 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
 
     def frame(_, t):
         alpha = 1.0 - t.astype(jnp.float32) / N
-        g_f = softsplat_sum_at(u_mov, positions, disp_f[t], H, W) * alpha
-        g_p = softsplat_sum_at(u_mov, positions, disp_p[N - t], H, W) * (1.0 - alpha)
-        g = g_f + g_p + u_static
+        # both ends in ONE scatter op (per-op overhead dominates; splat.py)
+        g = softsplat_sum_at_quad_dual(
+            u_mov, positions, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, H, W) + u_static
         norm = jnp.maximum(g[..., -1:], 1e-8)
         return None, (g[..., :-1] / norm).astype(compute_dtype)
 
@@ -304,9 +308,9 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
 
     def frame(_, t):
         alpha = jnp.clip(1.0 - t.astype(jnp.float32) / N, ALPHA_MIN, ALPHA_MAX)
-        g_f = softsplat_sum_at(u_mov, positions, disp_f[t], H, W) * alpha
-        g_p = softsplat_sum_at(u_mov, positions, disp_p[N - t], H, W) * (1.0 - alpha)
-        g = (g_f + g_p + u_static)[None]
+        g = (softsplat_sum_at_quad_dual(
+            u_mov, positions, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, H, W) + u_static)[None]
         gen_fs, af_warped = slr_unpack_splatted(g, use_alpha0)
         return None, (gen_fs[0].astype(compute_dtype),
                       af_warped[0].astype(compute_dtype))
@@ -386,9 +390,9 @@ def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
 
     def frame(t):
         alpha = 1.0 - t.astype(jnp.float32) / N
-        g_f = softsplat_sum_at(u_mov, positions, disp_f[t], H, W) * alpha
-        g_p = softsplat_sum_at(u_mov, positions, disp_p[N - t], H, W) * (1.0 - alpha)
-        g = g_f + g_p + u_static
+        g = softsplat_sum_at_quad_dual(
+            u_mov, positions, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, H, W) + u_static
         norm = jnp.maximum(g[..., -1:], 1e-8)
         gen_fs = g[..., :-1] / norm
         return model.apply(variables, gen_fs[None], method="decode")[0]
@@ -426,9 +430,9 @@ def warp_flow_rollout(img, flow, n_frames: int, positions, valid):
 
     def frame(_, t):
         alpha = 1.0 - t.astype(jnp.float32) / N
-        g = (softsplat_sum_at(u_mov, positions, disp_f[t], H, W) * alpha
-             + softsplat_sum_at(u_mov, positions, disp_p[N - t], H, W)
-             * (1.0 - alpha) + u_static)
+        g = softsplat_sum_at_quad_dual(
+            u_mov, positions, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, H, W) + u_static
         return None, g[..., :3] / jnp.maximum(g[..., 3:], 1e-8)
 
     _, frames = jax.lax.scan(frame, None, jnp.arange(N))

@@ -105,9 +105,25 @@ class PartialConv(nn.Module):
         # winsize/(sum over in-channels and window of mask); channel-uniform.
         mask = jax.lax.stop_gradient(mask)
         cm = mask.shape[-1]
-        ones = jnp.ones((self.kernel_size, self.kernel_size, cm, 1), x.dtype)
-        msum = conv2d(mask.astype(x.dtype), ones, None, self.stride, self.padding,
-                      self.dilation)
+        if self.dilation == 1:
+            # windowed sum via reduce_window: a 1-output-channel conv forces
+            # TPU layout churn (T(2,128) copies around every mask op); the
+            # reduction stays in the feature layout and fuses.
+            m = mask.astype(x.dtype)
+            if cm > 1:
+                m = jnp.sum(m, axis=-1, keepdims=True)
+            p = self.padding
+            msum = jax.lax.reduce_window(
+                m, jnp.zeros((), x.dtype), jax.lax.add,
+                (1, self.kernel_size, self.kernel_size, 1),
+                (1, self.stride, self.stride, 1),
+                [(0, 0), (p, p), (p, p), (0, 0)],
+            )
+        else:
+            ones = jnp.ones((self.kernel_size, self.kernel_size, cm, 1),
+                            x.dtype)
+            msum = conv2d(mask.astype(x.dtype), ones, None, self.stride,
+                          self.padding, self.dilation)
         if cm == 1:
             msum = msum * in_c
         winsize = in_c * self.kernel_size * self.kernel_size
