@@ -204,6 +204,28 @@ def main(argv=None):
             g_stats=variables["batch_stats"],
             g_spectral=variables["spectral"],
         )
+        if any(k.startswith("netD.") for k in sd):
+            from slrsfs_tpu.io.checkpoint import import_discriminator
+
+            d_vars = import_discriminator(sd, opt)
+            state = state.replace(d_params=d_vars["params"],
+                                  d_spectral=d_vars.get("spectral", {}))
+        if "optimizerG" in ckpt:
+            # exact mid-run resume from a reference checkpoint: restore both
+            # Adam states + step (reference train_animating.py:270-288)
+            from slrsfs_tpu.io.checkpoint import import_optimizer_states
+
+            try:
+                opt_g, opt_d, count = import_optimizer_states(
+                    ckpt, opt, trainer.tx_g, state.g_params,
+                    tx_d=trainer.tx_d if trainer.use_discriminator else None,
+                    d_params=state.d_params)
+                state = state.replace(opt_g=opt_g)
+                if opt_d is not None:
+                    state = state.replace(opt_d=opt_d)
+                print(f"restored torch Adam states (step {count})")
+            except Exception as e:  # weights-only init is still useful
+                print(f"optimizer-state import skipped: {e}")
         from slrsfs_tpu.io.checkpoint import import_vgg_from_checkpoint
 
         vgg = import_vgg_from_checkpoint(sd)

@@ -58,6 +58,7 @@ class Options:
     use_mask_as_alpha_input: bool = False
     use_bg_as_alpha_input: bool = False
     use_motion_as_alpha_input: bool = False  # reference flag name (:931)
+    use_sum1_alpha: bool = False  # single-logit alpha head (:939-946)
     AKLloss: float = 0.0
     ATVloss: float = 0.0
     ADCloss: float = 0.0

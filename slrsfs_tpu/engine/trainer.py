@@ -75,7 +75,15 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
         self.extra_losses_fn = extra_losses_fn
         self.task = task
-        self.d_model = MultiscaleDiscriminator(opt)
+        if opt.discriminator_losses == "pix2pixHDorigin":
+            # reference gan_loss.py:127-144: instance-norm pix2pixHD D,
+            # ndf=64, n_layers=3, num_D=2, no intermediate features
+            from slrsfs_tpu.nn.pix2pixhd import OriginMultiscaleDiscriminator
+
+            self.d_model = OriginMultiscaleDiscriminator(
+                ndf=64, n_layers=3, num_D=2)
+        else:
+            self.d_model = MultiscaleDiscriminator(opt)
         self.vgg = VGG19Features()
         self.vgg_vars = None  # set via load_vgg / init_vgg
         sched_g = make_lr_schedule(opt.lr_g, opt.niter, opt.niter_decay,

@@ -116,6 +116,16 @@ def z_for_splat(opt: Options, fs: Array, z: Array) -> Array:
     return jnp.ones_like(fs[..., :1])
 
 
+def fold_uvm(motion: Array) -> Array:
+    """uv·m 3-channel motion → 2-channel flow (reference
+    animating_softmax_splating.py:524-543): uvm motion regressors emit unit
+    direction (u, v) plus magnitude m; the dense flow is uv·m. 2-channel
+    motion passes through unchanged."""
+    if motion.shape[-1] == 3:
+        return motion[..., :2] * motion[..., 2:3]
+    return motion
+
+
 def _select_per_sample(stack: Array, t: Array) -> Array:
     """stack (B, T+1, ...), t (B,) -> (B, ...)."""
     return stack[jnp.arange(stack.shape[0]), t]
@@ -140,7 +150,7 @@ class BaselineTrainable(BaselineModel):
         opt = self.opt
         start_img, middle_img, end_img = batch["images"]
         idx = batch["index"]  # (B, 3) int32
-        flow = batch["motions"]  # (B, H, W, 2)
+        flow = fold_uvm(batch["motions"])  # (B, H, W, 2)
         B = flow.shape[0]
 
         fs_s, z_f = self.encode(start_img, train, deterministic)

@@ -73,6 +73,15 @@ def alpha_in_channels(opt: Options) -> int:
     return n
 
 
+def split_alpha_output(opt: Options, out: Array) -> Tuple[Array, Array]:
+    """Alpha-encoder output → (bg_logits, fluid_logits); see
+    SLRModel.alpha_encode for the use_sum1_alpha identity."""
+    if opt.use_sum1_alpha:
+        a_fl = out[..., 0:1]
+        return -a_fl, a_fl
+    return out[..., 0:1], out[..., 1:2]
+
+
 def build_alpha_input(opt: Options, img: Array,
                       motion: Optional[Array] = None,
                       mask_rock: Optional[Array] = None,
@@ -136,10 +145,15 @@ class SLRModel(nn.Module):
                      mask_rock: Optional[Array] = None,
                      bg_raw: Optional[Array] = None) -> Tuple[Array, Array]:
         """→ (alpha_bg_logits, alpha_fluid_logits), each (B, W, W, 1)
-        (forward_flow :938-946, channel order [bg, fluid])."""
+        (forward_flow :938-946, channel order [bg, fluid]).
+
+        With ``use_sum1_alpha`` channel 0 is the single fluid logit and
+        alpha_bg = 1 − σ(fluid) (:939-941); since 1 − σ(x) = σ(−x), the bg
+        "logits" returned are −fluid_logits, keeping every downstream
+        ``sigmoid(bg_logits)`` exact."""
         out = self.alpha_encode_raw(img, train, deterministic,
                                     motion, mask_rock, bg_raw)
-        return out[..., 0:1], out[..., 1:2]
+        return split_alpha_output(self.opt, out)
 
     def decode_fluid(self, gen_fs: Array, train: bool = False,
                      deterministic: bool = True) -> Array:
@@ -277,13 +291,13 @@ class SLRTrainable(SLRModel):
 
     def forward_train(self, batch, train: bool = True,
                       deterministic: bool = False):
-        from slrsfs_tpu.models.baseline import _select_per_sample
+        from slrsfs_tpu.models.baseline import _select_per_sample, fold_uvm
         from slrsfs_tpu.ops import euler_integrate_all
 
         opt = self.opt
         start_img, middle_img, end_img = batch["images"]
         idx = batch["index"]
-        flow = batch["motions"]
+        flow = fold_uvm(batch["motions"])
         mask_rock = batch["mask_rock"]  # (B, H, W, 1)
         mean_img = batch["mean_video"]
         B = flow.shape[0]
@@ -305,8 +319,8 @@ class SLRTrainable(SLRModel):
         out_f = self.alpha_encode_raw(start_img, train, deterministic,
                                       **extras)
         out_p = self.alpha_encode_raw(end_img, train, deterministic, **extras)
-        a_bg_logits_f, a_fl_logits_f = out_f[..., 0:1], out_f[..., 1:2]
-        a_bg_logits_p, a_fl_logits_p = out_p[..., 0:1], out_p[..., 1:2]
+        a_bg_logits_f, a_fl_logits_f = split_alpha_output(opt, out_f)
+        a_bg_logits_p, a_fl_logits_p = split_alpha_output(opt, out_p)
         a_bg_sig_f = jax.nn.sigmoid(a_bg_logits_f)
 
         # composite fluid alpha of frame 0 (reference :420-421)

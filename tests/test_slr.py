@@ -221,3 +221,28 @@ def test_per_epoch_loss_weight_decay():
     m0 = float(slr_extra_losses(opt2, pred, epoch=jnp.asarray(0))["Total Extra"])
     m3 = float(slr_extra_losses(opt2, pred, epoch=jnp.asarray(3))["Total Extra"])
     np.testing.assert_allclose(m3 / m0, (1 - 1 / 10.0) ** 3, rtol=1e-5)
+
+
+def test_use_sum1_alpha_and_uvm_fold():
+    """use_sum1_alpha: σ(bg_logits) == 1 − σ(fluid_logits) exactly
+    (forward_flow :939-941 via the logit identity). fold_uvm: 3-channel
+    uv·m motion folds to uv*m (animating_softmax_splating.py:524-543)."""
+    from slrsfs_tpu.models.baseline import fold_uvm
+    from slrsfs_tpu.models.slr import split_alpha_output
+
+    rng = np.random.default_rng(5)
+    out = jnp.asarray(rng.standard_normal((1, 8, 8, 2)), jnp.float32)
+    opt = _opt(use_sum1_alpha=True)
+    bg, fl = split_alpha_output(opt, out)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.sigmoid(bg)),
+        1.0 - np.asarray(jax.nn.sigmoid(fl)), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(fl), np.asarray(out[..., 0:1]))
+
+    uvm = jnp.asarray(rng.standard_normal((1, 8, 8, 3)), jnp.float32)
+    flow = fold_uvm(uvm)
+    assert flow.shape == (1, 8, 8, 2)
+    np.testing.assert_allclose(np.asarray(flow),
+                               np.asarray(uvm[..., :2] * uvm[..., 2:3]))
+    two = jnp.asarray(rng.standard_normal((1, 8, 8, 2)), jnp.float32)
+    assert fold_uvm(two) is two

@@ -36,6 +36,23 @@ def settle_spectral(module, *args, iters=8):
     module.eval()
 
 
+def install_tv_stub():
+    """Install a minimal torchvision stub so reference modules that do
+    ``from torchvision import models`` at import time (networks.py,
+    pretrained_networks.py) can be imported; tests that need real feature
+    stacks add their own factories."""
+    import types
+
+    if "torchvision" in sys.modules:
+        return sys.modules["torchvision"]
+    models = types.ModuleType("torchvision.models")
+    tv = types.ModuleType("torchvision")
+    tv.models = models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+    return tv
+
+
 def ref_opt(**kw):
     d = dict(norm_G="sync:spectral_batch", pconv="pconv_pbn_woresbias", bn_noise_misc=True)
     d.update(kw)
