@@ -59,6 +59,11 @@ class Options:
     use_bg_as_alpha_input: bool = False
     use_motion_as_alpha_input: bool = False  # reference flag name (:931)
     use_sum1_alpha: bool = False  # single-logit alpha head (:939-946)
+    # composite variants (forward_flow :1066-1078 / forward :641-652)
+    use_alpha_softmax: float = 0.0
+    clamp_alpha: float = 0.0
+    use_fluid_alpha_only: bool = False  # :423-426 / :1060-1063
+    use_bg_alpha_only: bool = False
     AKLloss: float = 0.0
     ATVloss: float = 0.0
     ADCloss: float = 0.0

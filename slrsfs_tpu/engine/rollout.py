@@ -321,14 +321,19 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
     if alpha_region is not None:
         region = gaussian_blur_region(alpha_region.astype(jnp.float32), W)
 
+    img_b = jnp.broadcast_to(img, (decode_batch,) + img.shape[1:])
+
     def decode_chunk(_, chunk):
         cf, ca = chunk
         fluid = model.apply(variables, cf, method="decode_fluid")
-        ga_logits = model.apply(variables, cf, ca, method="decode_alpha")
+        ga_logits = model.apply(variables, cf, ca, method="decode_alpha",
+                                img=img_b)
         ga = jax.nn.sigmoid(ga_logits.astype(jnp.float32))
         gen, comp_alpha = slr_composite(
             fluid.astype(jnp.float32), ga, a_bg_sig, bg_tanh,
-            alpha_region=region,
+            alpha_region=region, opt=opt,
+            ga_raw=ga_logits.astype(jnp.float32),
+            a_bg_raw=a_bg_logits.astype(jnp.float32),
         )
         return None, (gen, fluid.astype(jnp.float32), comp_alpha)
 
@@ -488,10 +493,13 @@ def slr_rollout_dense(model, variables, img, flow, n_frames: int,
         g = softsplat_sum(u, ff) * alpha + softsplat_sum(u, fp) * (1.0 - alpha)
         gen_fs, af_warped = slr_unpack_splatted(g, ua0)
         fluid = model.apply(variables, gen_fs, method="decode_fluid")
-        ga = jax.nn.sigmoid(
-            model.apply(variables, gen_fs, af_warped, method="decode_alpha"))
+        ga_logits = model.apply(variables, gen_fs, af_warped,
+                                method="decode_alpha", img=img)
+        ga = jax.nn.sigmoid(ga_logits)
         gen, comp_alpha = slr_composite(fluid, ga, a_bg_sig, bg_tanh,
-                                        alpha_region=region)
+                                        alpha_region=region, opt=opt,
+                                        ga_raw=ga_logits,
+                                        a_bg_raw=a_bg_logits)
         return None, (gen[0], fluid[0], comp_alpha[0])
 
     _, (gen, fluid, comp) = jax.lax.scan(frame, None, jnp.arange(N))

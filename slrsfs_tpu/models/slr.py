@@ -50,12 +50,20 @@ ALPHA_MIN, ALPHA_MAX = 1.0 / 600.0, 599.0 / 600.0  # reference :461,952
 
 
 def _alpha_opt(opt: Options) -> Options:
-    """get_alpha_encoder/decoder option surgery (utilities.py:105-133)."""
+    """get_alpha_encoder/decoder option surgery (utilities.py:105-133):
+    decoder input is [gen_fs, warped_alpha] (+1 ch over ngf) by default;
+    the 'decouple' variant takes the warped alpha alone and 'image' takes
+    [start_img, warped_alpha] (utilities.py:127-131)."""
     out_channel = 3 if opt.AKLloss > 0.0 else 2
+    adi = 1
+    if "decouple" in opt.alpha_refine_model_type:
+        adi -= opt.ngf
+    elif "image" in opt.alpha_refine_model_type:
+        adi -= opt.ngf - 3
     return opt.replace(
         refine_model_type=opt.alpha_refine_model_type,
         out_channel=out_channel,
-        addtional_decoder_input=1,
+        addtional_decoder_input=adi,
         addtional_decoder_output=-2,
     )
 
@@ -160,9 +168,18 @@ class SLRModel(nn.Module):
         return jnp.tanh(self.projector(gen_fs, train, deterministic))
 
     def decode_alpha(self, gen_fs: Array, alpha_warped: Array,
-                     train: bool = False, deterministic: bool = True) -> Array:
-        """Refined fluid alpha logits (forward_flow :1052-1054)."""
-        x = jnp.concatenate([gen_fs, alpha_warped], axis=-1)
+                     train: bool = False, deterministic: bool = True,
+                     img: Optional[Array] = None) -> Array:
+        """Refined fluid alpha logits (forward_flow :1052-1054; input
+        variants 'decouple'/'image' per reference :600-605)."""
+        amt = self.opt.alpha_refine_model_type
+        if "decouple" in amt:
+            x = alpha_warped
+        elif "image" in amt:
+            assert img is not None, "'image' alpha decoder needs start_img"
+            x = jnp.concatenate([img, alpha_warped], axis=-1)
+        else:
+            x = jnp.concatenate([gen_fs, alpha_warped], axis=-1)
         return self.net_alpha_decoder(x, train, deterministic)
 
     def __call__(self, img: Array, train: bool = False,
@@ -178,7 +195,7 @@ class SLRModel(nn.Module):
             mask_rock=jnp.zeros((B, H, W, 1), img.dtype),
             bg_raw=bg,
         )
-        ga = self.decode_alpha(fs, a_fl, train, deterministic)
+        ga = self.decode_alpha(fs, a_fl, train, deterministic, img=img)
         return fluid, bg, a_bg, ga
 
 
@@ -227,17 +244,45 @@ def slr_unpack_splatted(g: Array, use_alpha0: bool
 
 def slr_composite(gen_fluid_img: Array, gen_fluid_alpha_sig: Array,
                   alpha_bg_sig: Array, bg_img_tanh: Array,
-                  alpha_region: Optional[Array] = None
-                  ) -> Tuple[Array, Array]:
-    """Two-layer composite (forward_flow :1056-1088).
+                  alpha_region: Optional[Array] = None,
+                  opt: Optional[Options] = None,
+                  ga_raw: Optional[Array] = None,
+                  a_bg_raw: Optional[Array] = None,
+                  train_mode: bool = False) -> Tuple[Array, Array]:
+    """Two-layer composite (forward_flow :1056-1088) with the reference's
+    variants: use_alpha_softmax (softmax over the two RAW logits,
+    :1066-1070), clamp_alpha (fluid weight floored at clamp_alpha —
+    training pairs it with bg/norm (:646-651), inference with 1-cf
+    (:1071-1075)), use_{fluid,bg}_alpha_only (alpha_norm=1, :1060-1063).
 
     Returns (gen_img, composite_fluid_alpha)."""
-    alpha_norm = jnp.maximum(gen_fluid_alpha_sig + alpha_bg_sig, 1e-8)
-    gen = (gen_fluid_alpha_sig * gen_fluid_img
-           + alpha_bg_sig * bg_img_tanh) / alpha_norm
+    if (opt is not None and opt.use_alpha_softmax > 0.0
+            and ga_raw is not None and a_bg_raw is not None):
+        w = jax.nn.softmax(jnp.concatenate([ga_raw, a_bg_raw], axis=-1),
+                           axis=-1)
+        comp = w[..., 0:1]
+        gen = comp * gen_fluid_img + w[..., 1:2] * bg_img_tanh
+    elif opt is not None and opt.clamp_alpha > 0.0:
+        alpha_norm = jnp.maximum(gen_fluid_alpha_sig + alpha_bg_sig, 1e-8)
+        comp = jnp.clip(gen_fluid_alpha_sig / alpha_norm,
+                        opt.clamp_alpha, None)
+        if train_mode:
+            gen = (comp * gen_fluid_img
+                   + (alpha_bg_sig / alpha_norm) * bg_img_tanh)
+        else:
+            gen = comp * gen_fluid_img + (1.0 - comp) * bg_img_tanh
+    else:
+        if opt is not None and (opt.use_fluid_alpha_only
+                                or opt.use_bg_alpha_only):
+            alpha_norm = jnp.ones_like(gen_fluid_alpha_sig)
+        else:
+            alpha_norm = jnp.maximum(gen_fluid_alpha_sig + alpha_bg_sig, 1e-8)
+        gen = (gen_fluid_alpha_sig * gen_fluid_img
+               + alpha_bg_sig * bg_img_tanh) / alpha_norm
+        comp = gen_fluid_alpha_sig / alpha_norm
     if alpha_region is not None:
         gen = gen * alpha_region + gen_fluid_img * (1.0 - alpha_region)
-    return gen, gen_fluid_alpha_sig / alpha_norm
+    return gen, comp
 
 
 class BackgroundModel(nn.Module):
@@ -323,9 +368,17 @@ class SLRTrainable(SLRModel):
         a_bg_logits_p, a_fl_logits_p = split_alpha_output(opt, out_p)
         a_bg_sig_f = jax.nn.sigmoid(a_bg_logits_f)
 
-        # composite fluid alpha of frame 0 (reference :420-421)
+        # composite fluid alpha of frame 0 (reference :420-430)
         a_fl_sig_f = jax.nn.sigmoid(a_fl_logits_f)
         comp_i0 = a_fl_sig_f / jnp.maximum(a_fl_sig_f + a_bg_sig_f, 1e-8)
+        if opt.use_fluid_alpha_only:
+            comp_i0 = a_fl_sig_f
+        if opt.use_bg_alpha_only:
+            comp_i0 = a_bg_sig_f
+        if opt.use_alpha_softmax > 0.0:
+            comp_i0 = jax.nn.softmax(
+                jnp.concatenate([a_fl_logits_f, a_bg_logits_f], axis=-1),
+                axis=-1)[..., 0:1]
 
         t_f = (idx[:, 1] - idx[:, 0]).astype(jnp.int32)
         t_p = (idx[:, 2] + 1 - idx[:, 1]).astype(jnp.int32)
@@ -372,11 +425,12 @@ class SLRTrainable(SLRModel):
 
         gen_fluid_img = self.decode_fluid(gen_fs, train, deterministic)
         ga_raw = self.decode_alpha(gen_fs, alpha_fluid_warped, train,
-                                   deterministic)
+                                   deterministic, img=start_img)
         gen_fluid_alpha = jax.nn.sigmoid(ga_raw)
 
         gen_img, comp_alpha = slr_composite(
-            gen_fluid_img, gen_fluid_alpha, a_bg_sig_f, bg_tanh)
+            gen_fluid_img, gen_fluid_alpha, a_bg_sig_f, bg_tanh,
+            opt=opt, ga_raw=ga_raw, a_bg_raw=a_bg_logits_f, train_mode=True)
 
         # 3-way GT alpha (reference :619-621)
         moving = 1.0 - small_motion_alpha

@@ -246,3 +246,82 @@ def test_use_sum1_alpha_and_uvm_fold():
                                np.asarray(uvm[..., :2] * uvm[..., 2:3]))
     two = jnp.asarray(rng.standard_normal((1, 8, 8, 2)), jnp.float32)
     assert fold_uvm(two) is two
+
+
+def test_composite_variants():
+    """use_alpha_softmax (:1066-1070), clamp_alpha (:1071-1075 inference /
+    :646-651 train), use_fluid_alpha_only (:1060-1063)."""
+    from slrsfs_tpu.models.slr import slr_composite
+
+    rng = np.random.default_rng(6)
+    B, H, W = 1, 6, 6
+    fluid = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32)
+    bg = jnp.asarray(rng.standard_normal((B, H, W, 3)), jnp.float32)
+    ga_raw = jnp.asarray(rng.standard_normal((B, H, W, 1)), jnp.float32)
+    ab_raw = jnp.asarray(rng.standard_normal((B, H, W, 1)), jnp.float32)
+    ga = jax.nn.sigmoid(ga_raw)
+    ab = jax.nn.sigmoid(ab_raw)
+
+    # softmax variant
+    opt = _opt(use_alpha_softmax=1.0)
+    gen, comp = slr_composite(fluid, ga, ab, bg, opt=opt,
+                              ga_raw=ga_raw, a_bg_raw=ab_raw)
+    w = jax.nn.softmax(jnp.concatenate([ga_raw, ab_raw], -1), axis=-1)
+    np.testing.assert_allclose(np.asarray(gen),
+                               np.asarray(w[..., :1] * fluid
+                                          + w[..., 1:] * bg), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(comp), np.asarray(w[..., :1]))
+
+    # clamp variant: inference uses (1-cf) for bg, train uses bg/norm
+    opt = _opt(clamp_alpha=0.4)
+    norm = np.maximum(np.asarray(ga) + np.asarray(ab), 1e-8)
+    cf = np.clip(np.asarray(ga) / norm, 0.4, None)
+    gen_i, comp_i = slr_composite(fluid, ga, ab, bg, opt=opt,
+                                  ga_raw=ga_raw, a_bg_raw=ab_raw)
+    np.testing.assert_allclose(
+        np.asarray(gen_i), cf * np.asarray(fluid) + (1 - cf) * np.asarray(bg),
+        rtol=1e-5)
+    gen_t, _ = slr_composite(fluid, ga, ab, bg, opt=opt, ga_raw=ga_raw,
+                             a_bg_raw=ab_raw, train_mode=True)
+    np.testing.assert_allclose(
+        np.asarray(gen_t),
+        cf * np.asarray(fluid) + (np.asarray(ab) / norm) * np.asarray(bg),
+        rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(comp_i), cf)
+
+    # fluid-only: alpha_norm = 1
+    opt = _opt(use_fluid_alpha_only=True)
+    gen_f, _ = slr_composite(fluid, ga, ab, bg, opt=opt)
+    np.testing.assert_allclose(
+        np.asarray(gen_f),
+        np.asarray(ga) * np.asarray(fluid) + np.asarray(ab) * np.asarray(bg),
+        rtol=1e-5)
+
+
+def test_alpha_decoder_input_variants():
+    """'decouple' (warped alpha only) and 'image' ([img, warped alpha])
+    alpha-decoder inputs (reference :600-605, utilities.py:127-131)."""
+    from slrsfs_tpu.engine.rollout import prepare_scene_sparse
+
+    rng = np.random.default_rng(7)
+    H = W = 16
+    for variant, in_ch in (("decouple", 1), ("image", 4)):
+        opt = _opt(
+            W=W,
+            alpha_refine_model_type=(
+                f"resnet_TinyTest_de_resnet_pconv2_{variant}_nonorm"))
+        model = SLRModel(opt)
+        img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+            img, False, True)
+        k = variables["params"]["net_alpha_decoder"]
+        assert any(a.shape[-2] == in_ch for a in jax.tree.leaves(k)
+                   if getattr(a, "ndim", 0) == 4), variant
+        flow = (rng.standard_normal((H, W, 2))).astype(np.float32)
+        flow[: H // 2] = 0.0
+        pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
+        out = slr_rollout_sparse(
+            model, variables, jnp.asarray(img), jnp.asarray(flow), 2,
+            jnp.asarray(pos), jnp.asarray(valid), decode_batch=2)
+        assert np.isfinite(np.asarray(out["PredImg"])).all(), variant
