@@ -5,7 +5,8 @@ lz4framed-compressed pickle of a torch tensor. lz4framed is not available in
 this environment; supported formats here, by sniffing:
 
 * plain ``torch.save`` .pth (zip or legacy pickle),
-* lz4-frame (magic 0x184D2204) via the ``lz4`` package if installed,
+* lz4-frame (magic 0x184D2204) via the ``lz4`` package if installed, else
+  natively through the system ``liblz4`` (ctypes, ``data/lz4f.py``),
 * numpy ``.npy`` / ``.npz`` (our native flow format).
 """
 
@@ -31,16 +32,22 @@ def load_compressed_tensor(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         head = f.read(4)
     if head == _LZ4_MAGIC:
+        with open(path, "rb") as f:
+            blob = f.read()
         try:
             import lz4.frame
-        except ImportError as e:
-            raise ImportError(
-                f"{path} is lz4-framed (the reference's format) but the lz4 "
-                "package is unavailable; re-encode with "
-                "slrsfs_tpu.data.tensors.save_motion to .npz"
-            ) from e
-        with open(path, "rb") as f:
-            raw = lz4.frame.decompress(f.read())
+
+            raw = lz4.frame.decompress(blob)
+        except ImportError:
+            from . import lz4f  # ctypes binding to system liblz4
+
+            if not lz4f.available():
+                raise ImportError(
+                    f"{path} is lz4-framed (the reference's format) but "
+                    "neither the lz4 package nor liblz4.so is available; "
+                    "re-encode with slrsfs_tpu.data.tensors.save_motion"
+                )
+            raw = lz4f.decompress(blob)
         t = pickle.loads(raw)
         return _to_numpy(t)
     # plain torch.save

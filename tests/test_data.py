@@ -54,6 +54,33 @@ def test_motion_tensor_formats(tmp_path):
     np.testing.assert_allclose(got[..., 0], flow[0, 0])
 
 
+def test_motion_tensor_lz4_frame(tmp_path):
+    """The reference's actual on-disk format: lz4-frame-compressed pickle of a
+    torch tensor (utils/utils.py:111-115), decoded via the native liblz4
+    ctypes binding (no Python lz4 package in this image)."""
+    import pickle
+
+    import torch
+
+    from slrsfs_tpu.data import lz4f
+
+    if not lz4f.available():
+        import pytest
+
+        pytest.skip("liblz4 not present")
+    flow = np.random.default_rng(3).standard_normal((1, 2, 8, 10)).astype(np.float32)
+    p = str(tmp_path / "scene_motion.pth")
+    with open(p, "wb") as f:
+        f.write(lz4f.compress(pickle.dumps(torch.from_numpy(flow))))
+    got = motion_to_hw2(load_compressed_tensor(p))
+    assert got.shape == (8, 10, 2)
+    np.testing.assert_allclose(got[..., 0], flow[0, 0])
+    # multi-chunk robustness: decompress a large frame (> one 64 KiB block)
+    big = np.random.default_rng(4).standard_normal((1 << 18,)).astype(np.float32)
+    raw = big.tobytes()
+    assert lz4f.decompress(lz4f.compress(raw)) == raw
+
+
 def test_baseline_dataset(fixture_root):
     opt = Options(W=64, dataset="eulerian_data")
     ds = get_dataset(opt, fixture_root, split="train", seed=3)
