@@ -1,15 +1,18 @@
 #!/usr/bin/env python
 """End-to-end benchmark: 60-frame 480x256 CLAW-style rollout on one TPU chip.
 
-Prints ONE JSON line. Primary metric (unchanged across rounds):
-``rollout_fps_60f_480x256`` — baseline model, sparse fast path, bf16 decode,
-50%-moving synthetic scene. vs_baseline is achieved_fps / 60 (the BASELINE.json
-north star of <1 s per 60-frame rollout).
+Prints ONE JSON line. Primary metric:
+``rollout_fps_60f_480x256`` — baseline model, sparse fast path, bf16 decode
++ bf16 splat accumulation (round 2), 50%-moving synthetic scene. vs_baseline
+is achieved_fps / 60 (the BASELINE.json north star of <1 s per 60-frame
+rollout).
 
 Additional labeled numbers in the same JSON object:
+* ``f32_splat_fps``        — the round-1 headline definition (bf16 decode,
+  f32 splat accumulation), for cross-round comparability
 * ``worst_case_dense_fps`` — same model with 100% of pixels moving (the
   sparse path's win scales with the static fraction; this is its floor)
-* ``f32_fps``              — full-float32 rollout (no bf16 decode)
+* ``f32_fps``              — full-float32 rollout (no bf16 anywhere)
 * ``slr_fps``              — two-layer SLR model (fluid + alpha + composite)
 * ``rawsize768_fps``       — 768x768 model input, the CLAW eval protocol
   resolution (test_animating/CLAW/test_v1.sh:19)
@@ -87,27 +90,40 @@ def main():
     )
     variables = settle(model, variables, (img,), n=6)
 
-    def make_run(v, i, f, p, va, dtype, n=N, db=DECODE_BATCH):
+    def make_run(v, i, f, p, va, dtype, n=N, db=DECODE_BATCH, sd=None):
         run = jax.jit(lambda v_, i_, f_, p_, va_: baseline_rollout_sparse(
             model, v_, i_, f_, n, p_, va_,
-            decode_batch=db, compute_dtype=dtype))
+            decode_batch=db, compute_dtype=dtype, splat_dtype=sd))
         return lambda: run(v, i, f, p, va)
 
-    # 1. headline: sparse bf16, 50% moving
+    # 1. headline: sparse bf16 (bf16 decode + bf16 splat accumulation),
+    #    50% moving. Frames agree with the f32-splat variant to ~4e-3.
     frames, compile_s, best = _time_fn(
-        make_run(variables, img, flow, positions, valid, jnp.bfloat16))
+        make_run(variables, img, flow, positions, valid, jnp.bfloat16,
+                 sd=jnp.bfloat16))
     fps = N / best
     print(f"# device={dev} compile={compile_s:.1f}s best={best*1000:.1f}ms "
           f"frames_shape={frames.shape} "
           f"moving_frac={float(np.asarray(valid).sum()) / (H * W):.2f} "
-          f"mode=sparse+bf16 decode_batch={DECODE_BATCH}", file=sys.stderr)
+          f"mode=sparse+bf16+bf16splat decode_batch={DECODE_BATCH}",
+          file=sys.stderr)
 
     extras = {}
+
+    # 1b. round-1 headline definition (f32 splat accumulation), for series
+    #     comparability across rounds
+    _, c1b, b1b = _time_fn(
+        make_run(variables, img, flow, positions, valid, jnp.bfloat16),
+        runs=2)
+    extras["f32_splat_fps"] = round(N / b1b, 2)
+    print(f"# f32-splat (round-1 headline def): {b1b*1000:.1f}ms "
+          f"compile={c1b:.1f}s", file=sys.stderr)
 
     # 2. worst case: 100% of pixels moving (sparse path's floor)
     img2, flow2, pos2, val2 = _scene(rng, H, W, moving_frac=1.0)
     _, c2, b2 = _time_fn(
-        make_run(variables, img2, flow2, pos2, val2, jnp.bfloat16), runs=2)
+        make_run(variables, img2, flow2, pos2, val2, jnp.bfloat16,
+                 sd=jnp.bfloat16), runs=2)
     extras["worst_case_dense_fps"] = round(N / b2, 2)
     print(f"# worst-case 100%-moving: {b2*1000:.1f}ms compile={c2:.1f}s",
           file=sys.stderr)
@@ -121,7 +137,8 @@ def main():
     # 4. rawsize W=768 (CLAW eval protocol resolution), bf16
     img4, flow4, pos4, val4 = _scene(rng, 768, 768, moving_frac=0.5)
     _, c4, b4 = _time_fn(
-        make_run(variables, img4, flow4, pos4, val4, jnp.bfloat16, db=5),
+        make_run(variables, img4, flow4, pos4, val4, jnp.bfloat16, db=5,
+                 sd=jnp.bfloat16),
         runs=2)
     extras["rawsize768_fps"] = round(N / b4, 2)
     print(f"# rawsize 768x768: {b4*1000:.1f}ms compile={c4:.1f}s",
@@ -137,7 +154,7 @@ def main():
     slr_vars = settle(slr, slr_vars, (img,), n=2)
     run_slr = jax.jit(lambda v, i, f, p, va: slr_rollout_sparse(
         slr, v, i, f, N, p, va, decode_batch=DECODE_BATCH,
-        compute_dtype=jnp.bfloat16))
+        compute_dtype=jnp.bfloat16, splat_dtype=jnp.bfloat16))
     _, c5, b5 = _time_fn(
         lambda: run_slr(slr_vars, img, flow, positions, valid), runs=2)
     extras["slr_fps"] = round(N / b5, 2)

@@ -123,7 +123,11 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
             flow = flow * (align[name] / float(n_frames))
     positions, valid = prepare_scene_sparse(flow)
 
-    compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    # 'bfloat16' = bf16 decode, f32 splat; 'bfloat16-fast' additionally
+    # accumulates the splat scatter in bf16 (fastest; frames agree to ~4e-3)
+    compute_dtype = (jnp.bfloat16 if dtype.startswith("bfloat16")
+                     else jnp.float32)
+    splat_dtype = jnp.bfloat16 if dtype == "bfloat16-fast" else None
     db = decode_batch
     while n_frames % db:
         db -= 1
@@ -137,14 +141,15 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
         outs = jax.jit(
             lambda v, i, f, p, va: slr_rollout_sparse(
                 model, v, i, f, n_frames, p, va, decode_batch=db,
-                compute_dtype=compute_dtype, alpha_region=region)
+                compute_dtype=compute_dtype, splat_dtype=splat_dtype,
+                alpha_region=region)
         )(variables, img, jnp.asarray(flow), jnp.asarray(positions),
           jnp.asarray(valid))
     else:
         frames = jax.jit(
             lambda v, i, f, p, va: baseline_rollout_sparse(
                 model, v, i, f, n_frames, p, va, decode_batch=db,
-                compute_dtype=compute_dtype)
+                compute_dtype=compute_dtype, splat_dtype=splat_dtype)
         )(variables, img, jnp.asarray(flow), jnp.asarray(positions),
           jnp.asarray(valid))
         outs = {"PredImg": frames}
@@ -204,7 +209,7 @@ def main(argv=None):
     p.add_argument("--rotate", type=float, default=0.0)
     p.add_argument("--flow-scale", type=float, default=1.0)
     p.add_argument("--dtype", default="float32",
-                   choices=["float32", "bfloat16"])
+                   choices=["float32", "bfloat16", "bfloat16-fast"])
     p.add_argument("--alpha-region", default=None)
     p.add_argument("--motion-ckpt", default=None,
                    help="predict dense motion from sparse hints with this "

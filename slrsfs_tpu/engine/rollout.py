@@ -130,14 +130,19 @@ def prepare_scene_sparse(flow_np, pad_multiple: int = 1024):
 
 def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
                             positions, valid, decode_batch: int = 6,
-                            compute_dtype=jnp.float32):
+                            compute_dtype=jnp.float32, splat_dtype=None):
     """Sparse-splat, frame-batched-decode rollout. Exact equivalent of
     ``baseline_rollout`` when the static set truly has zero motion.
 
     positions/valid: from ``prepare_scene_sparse``. ``decode_batch`` frames
     are decoded per step (BN uses stored stats, so batching does not change
     results). ``compute_dtype``: bfloat16 selects the speed mode (casts
-    params + activations; splat accumulation stays float32).
+    params + activations; splat accumulation stays float32 unless
+    ``splat_dtype`` overrides it). ``splat_dtype=bfloat16`` is the opt-in
+    FAST splat mode: the scatter buffer (the per-frame bandwidth hot spot,
+    ~390 MB/frame at 480x256 in f32) accumulates in bf16 — bilinear weights
+    and the final normalization stay f32. Breaks 1e-5 parity with the dense
+    reference path; rendered frames agree to ~1e-2 (tanh [-1,1] scale).
     """
     opt = model.opt
     N = n_frames
@@ -155,18 +160,21 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
         )
         img = img.astype(compute_dtype)
 
+    splat_dtype = jnp.dtype(splat_dtype or jnp.float32)
+
     fs, z = model.apply(variables, img, method="encode")
     z = z_for_splat(opt, fs, z)
     zn = z_normalize(opt, z, None)
-    u = pack_splat_input(fs, zn)[0].astype(jnp.float32)  # (H, W, C+1)
+    u = pack_splat_input(fs, zn)[0].astype(splat_dtype)  # (H, W, C+1)
 
     # static identity contribution: alpha·U + (1-alpha)·U = U on static pixels
     moving_mask = jnp.zeros((H, W), jnp.float32).at[
         positions[:, 1], positions[:, 0]
     ].max(valid)
-    u_static = u * (1.0 - moving_mask)[..., None]
+    u_static = (u * (1.0 - moving_mask)[..., None]).astype(splat_dtype)
 
-    u_mov = u[positions[:, 1], positions[:, 0]] * valid[:, None]  # (P, C+1)
+    u_mov = (u[positions[:, 1], positions[:, 0]]
+             * valid[:, None]).astype(splat_dtype)  # (P, C+1)
 
     disp_f, _ = euler_integrate_compact(flow, positions, N - 1)
     disp_p, _ = euler_integrate_compact(-flow, positions, N)
@@ -174,9 +182,9 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     def frame(_, t):
         alpha = 1.0 - t.astype(jnp.float32) / N
         # both ends in ONE scatter op (per-op overhead dominates; splat.py)
-        g = softsplat_sum_at_quad_dual(
+        g = (softsplat_sum_at_quad_dual(
             u_mov, positions, disp_f[t], disp_p[N - t],
-            alpha, 1.0 - alpha, H, W) + u_static
+            alpha, 1.0 - alpha, H, W) + u_static).astype(jnp.float32)
         norm = jnp.maximum(g[..., -1:], 1e-8)
         return None, (g[..., :-1] / norm).astype(compute_dtype)
 
@@ -248,11 +256,16 @@ def _alpha_extras(opt, img, flow, bg_img_raw, mask_rock):
 def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
                        positions, valid, bg_img_raw=None,
                        alpha_region=None, decode_batch: int = 20,
-                       compute_dtype=jnp.float32, mask_rock=None):
+                       compute_dtype=jnp.float32, mask_rock=None,
+                       splat_dtype=None):
     """Two-layer SLR rollout (reference test_v1_4eval*.py driver semantics):
     encode + background + alpha head once, per frame symmetric double-ended
     splat of [features, fluid-alpha], decode fluid image and refined alpha,
     composite over the background.
+
+    ``splat_dtype=bfloat16`` is the opt-in FAST splat mode (see
+    ``baseline_rollout_sparse``): scatter accumulation in bf16, weights and
+    normalization in f32.
 
     Returns dict of stacked (N, H, W, C) outputs: PredImg, FluidImg,
     CompositeFluidAlpha (+ BGImg (H, W, 3)).
@@ -295,13 +308,15 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
         opt, fs.astype(jnp.float32), zn.astype(jnp.float32),
         a_fl_logits.astype(jnp.float32), a_bg_sig,
     )
-    u = u[0]  # (H, W, C)
+    splat_dtype = jnp.dtype(splat_dtype or jnp.float32)
+    u = u[0].astype(splat_dtype)  # (H, W, C)
 
     moving_mask = jnp.zeros((H, W), jnp.float32).at[
         positions[:, 1], positions[:, 0]
     ].max(valid)
-    u_static = u * (1.0 - moving_mask)[..., None]
-    u_mov = u[positions[:, 1], positions[:, 0]] * valid[:, None]
+    u_static = (u * (1.0 - moving_mask)[..., None]).astype(splat_dtype)
+    u_mov = (u[positions[:, 1], positions[:, 0]]
+             * valid[:, None]).astype(splat_dtype)
 
     disp_f, _ = euler_integrate_compact(flow, positions, N - 1)
     disp_p, _ = euler_integrate_compact(-flow, positions, N)
@@ -310,7 +325,7 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
         alpha = jnp.clip(1.0 - t.astype(jnp.float32) / N, ALPHA_MIN, ALPHA_MAX)
         g = (softsplat_sum_at_quad_dual(
             u_mov, positions, disp_f[t], disp_p[N - t],
-            alpha, 1.0 - alpha, H, W) + u_static)[None]
+            alpha, 1.0 - alpha, H, W) + u_static)[None].astype(jnp.float32)
         gen_fs, af_warped = slr_unpack_splatted(g, use_alpha0)
         return None, (gen_fs[0].astype(compute_dtype),
                       af_warped[0].astype(compute_dtype))

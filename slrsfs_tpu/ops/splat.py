@@ -358,7 +358,11 @@ def _quad_rows(u: Array, positions: Array, disp: Array,
     w_sw = ((1.0 - dx) * dy)[:, None] * valid(x0, y0 + 1)
     w_se = (dx * dy)[:, None] * valid(x0 + 1, y0 + 1)
 
-    upd = jnp.concatenate([u * w_nw, u * w_ne, u * w_sw, u * w_se], axis=-1)
+    # weights are computed at disp precision (f32) and the rows cast back to
+    # u.dtype: with a bfloat16 u (the opt-in fast splat mode) only the
+    # scatter ACCUMULATION is bf16, not the bilinear weight math.
+    upd = jnp.concatenate(
+        [u * w_nw, u * w_ne, u * w_sw, u * w_se], axis=-1).astype(u.dtype)
     pad = width + 1
     HW = height * width
     q = jnp.clip(y0 * width + x0 + pad, 0, HW + 2 * pad - 1)
@@ -392,8 +396,10 @@ def softsplat_sum_at_quad_dual(u: Array, positions: Array,
     """
     P, C = u.shape
     HW = height * width
-    q_a, upd_a = _quad_rows(u * w_a, positions, disp_a, height, width)
-    q_b, upd_b = _quad_rows(u * w_b, positions, disp_b, height, width)
+    q_a, upd_a = _quad_rows((u * w_a).astype(u.dtype),
+                            positions, disp_a, height, width)
+    q_b, upd_b = _quad_rows((u * w_b).astype(u.dtype),
+                            positions, disp_b, height, width)
     q = jnp.concatenate([q_a, q_b])
     upd = jnp.concatenate([upd_a, upd_b])
     pad = width + 1
