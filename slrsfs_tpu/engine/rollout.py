@@ -101,7 +101,7 @@ def make_jit_rollout(model: BaselineModel, n_frames: int):
 
 import numpy as np
 
-from slrsfs_tpu.ops import euler_integrate_compact
+from slrsfs_tpu.ops import euler_integrate_compact, euler_integrate_compact_dual
 # quad-packed scatter: one update row per source pixel (ops/splat.py)
 from slrsfs_tpu.ops.splat import (
     softsplat_sum_at_quad as softsplat_sum_at,
@@ -176,8 +176,8 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     u_mov = (u[positions[:, 1], positions[:, 0]]
              * valid[:, None]).astype(splat_dtype)  # (P, C+1)
 
-    disp_f, _ = euler_integrate_compact(flow, positions, N - 1)
-    disp_p, _ = euler_integrate_compact(-flow, positions, N)
+    # both directions in one scan (halves the fixed per-step overhead)
+    disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
 
     def frame(_, t):
         alpha = 1.0 - t.astype(jnp.float32) / N
@@ -318,8 +318,8 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
     u_mov = (u[positions[:, 1], positions[:, 0]]
              * valid[:, None]).astype(splat_dtype)
 
-    disp_f, _ = euler_integrate_compact(flow, positions, N - 1)
-    disp_p, _ = euler_integrate_compact(-flow, positions, N)
+    # both directions in one scan (halves the fixed per-step overhead)
+    disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
 
     def frame(_, t):
         alpha = jnp.clip(1.0 - t.astype(jnp.float32) / N, ALPHA_MIN, ALPHA_MAX)
@@ -403,8 +403,8 @@ def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
     u_static = u * (1.0 - moving_mask)[..., None]
     u_mov = u[positions[:, 1], positions[:, 0]] * valid[:, None]
 
-    disp_f, _ = euler_integrate_compact(flow, positions, N - 1)
-    disp_p, _ = euler_integrate_compact(-flow, positions, N)
+    # both directions in one scan (halves the fixed per-step overhead)
+    disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
 
     sh = NamedSharding(mesh, P(axis))
 
@@ -445,8 +445,8 @@ def warp_flow_rollout(img, flow, n_frames: int, positions, valid):
     u_static = u * (1.0 - moving_mask)[..., None]
     u_mov = u[positions[:, 1], positions[:, 0]] * valid[:, None]
 
-    disp_f, _ = euler_integrate_compact(flow, positions, N - 1)
-    disp_p, _ = euler_integrate_compact(-flow, positions, N)
+    # both directions in one scan (halves the fixed per-step overhead)
+    disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
 
     def frame(_, t):
         alpha = 1.0 - t.astype(jnp.float32) / N

@@ -10,6 +10,7 @@ from slrsfs_tpu.ops.euler import (
     euler_integrate,
     euler_integrate_all,
     euler_integrate_compact,
+    euler_integrate_compact_dual,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "euler_integrate",
     "euler_integrate_all",
     "euler_integrate_compact",
+    "euler_integrate_compact_dual",
 ]

@@ -140,3 +140,57 @@ def euler_integrate_compact(motion: Array, positions: Array, n_steps: int
         jnp.concatenate([disp0, disps], axis=0),
         jnp.concatenate([vis0, visible], axis=0).astype(dtype),
     )
+
+
+def euler_integrate_compact_dual(motion: Array, positions: Array,
+                                 n_fwd: int, n_bwd: int
+                                 ) -> Tuple[Array, Array]:
+    """Both integration directions (M and −M) in ONE ``lax.scan``.
+
+    The per-step cost of the compact scan on TPU is dominated by fixed
+    per-op overhead, not by the (tiny) gather itself, so tracking the
+    forward and backward trajectories together — one 2P-row gather per step
+    instead of two scans of P-row gathers — halves the integration time of a
+    rollout (measured ~54 ms → ~27 ms at P=61440, N=60).
+
+    Element-for-element identical to
+    ``(euler_integrate_compact(motion, positions, n_fwd)[0],
+       euler_integrate_compact(-motion, positions, n_bwd)[0])``:
+    the backward half gathers from the same motion field and negates the
+    gathered vector, which is exactly integrating −M.
+
+    Returns (disp_fwd (n_fwd+1, P, 2), disp_bwd (n_bwd+1, P, 2)).
+    """
+    H, W, _ = motion.shape
+    dtype = motion.dtype
+    P = positions.shape[0]
+    coord = jnp.concatenate([positions, positions]).astype(dtype)  # (2P, 2)
+    sign = jnp.concatenate([jnp.ones((P, 1), dtype),
+                            -jnp.ones((P, 1), dtype)])
+    oob_disp = jnp.asarray(max(H, W) + 1, dtype)
+    motion_flat = motion.reshape(H * W, 2)
+    L = max(n_fwd, n_bwd)
+
+    def step(carry, _):
+        dest, invalid = carry
+        ix = jnp.clip(jnp.round(dest[:, 0]).astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip(jnp.round(dest[:, 1]).astype(jnp.int32), 0, H - 1)
+        m = jnp.take(motion_flat, iy * W + ix, axis=0) * sign
+        dest = dest + m
+        oob = (
+            (dest[:, 0] > W - 1)
+            | (dest[:, 0] < 0)
+            | (dest[:, 1] > H - 1)
+            | (dest[:, 1] < 0)
+        )
+        invalid = invalid | oob
+        dest = jnp.where(invalid[:, None], coord, dest)
+        disp = jnp.where(invalid[:, None], oob_disp, dest - coord)
+        return (dest, invalid), disp
+
+    init = (coord, jnp.zeros((2 * P,), bool))
+    _, disps = jax.lax.scan(step, init, None, length=L)  # (L, 2P, 2)
+    disp0 = jnp.zeros((1, P, 2), dtype)
+    disp_f = jnp.concatenate([disp0, disps[:n_fwd, :P]], axis=0)
+    disp_b = jnp.concatenate([disp0, disps[:n_bwd, P:]], axis=0)
+    return disp_f, disp_b

@@ -1,4 +1,5 @@
 import numpy as np
+import jax.numpy as jnp
 import jax
 import pytest
 
@@ -65,3 +66,22 @@ def test_euler_jit():
     disps, _ = f(motion)
     want_d, _ = euler_integration_np(np.asarray(motion, np.float64), 4)
     np.testing.assert_allclose(np.asarray(disps[4]), want_d, rtol=1e-5, atol=1e-5)
+
+
+def test_compact_dual_matches_two_scans():
+    """euler_integrate_compact_dual == two independent compact scans of M and
+    -M (one fused scan is the TPU fast path; ops/euler.py)."""
+    from slrsfs_tpu.ops import euler_integrate_compact, euler_integrate_compact_dual
+
+    rng = np.random.default_rng(5)
+    H, W, N = 24, 30, 7
+    motion = (rng.standard_normal((H, W, 2)) * 2.0).astype(np.float32)
+    ys, xs = np.mgrid[0:H:2, 0:W:3]
+    positions = np.stack([xs.ravel(), ys.ravel()], -1).astype(np.int32)
+    m = jnp.asarray(motion)
+    p = jnp.asarray(positions)
+    ref_f, _ = euler_integrate_compact(m, p, N - 1)
+    ref_b, _ = euler_integrate_compact(-m, p, N)
+    got_f, got_b = euler_integrate_compact_dual(m, p, N - 1, N)
+    np.testing.assert_array_equal(np.asarray(got_f), np.asarray(ref_f))
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))
