@@ -118,6 +118,19 @@ def main():
           f"mode=sparse+bf16+bf16splat decode_batch={DECODE_BATCH}",
           file=sys.stderr)
 
+    def emit(payload_extras):
+        print(json.dumps({
+            "metric": "rollout_fps_60f_480x256",
+            "value": round(fps, 2),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps / 60.0, 3),
+            **payload_extras,
+        }), flush=True)
+
+    # Emit the headline immediately: if the caller kills the process during
+    # the extras below, the last JSON line on stdout is still a valid result.
+    emit({})
+
     extras = {}
 
     def extra(name, note, thunk, runs=2):
@@ -158,38 +171,51 @@ def main():
           make_run(variables, img4, flow4, pos4, val4, jnp.bfloat16, db=5,
                    sd=jnp.bfloat16))
 
-    # SLR two-layer model, bf16
-    slr = SLRModel(opt.replace(use_alpha0_as_blending_weight=True))
-    slr_vars = jit_init(
-        slr,
-        {"params": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)},
-        img, False, True,
-    )
-    slr_vars = settle(slr, slr_vars, (img,), n=2)
-    run_slr = jax.jit(lambda v, i, f, p, va: slr_rollout_sparse(
-        slr, v, i, f, N, p, va, decode_batch=DECODE_BATCH,
-        compute_dtype=jnp.bfloat16, splat_dtype=jnp.bfloat16))
-    extra("slr_fps", "SLR",
-          lambda: run_slr(slr_vars, img, flow, positions, valid))
+    # SLR two-layer model, bf16. Init (its ~100 s compile included) is lazy
+    # so an exhausted budget skips it entirely.
+    slr_state = {}
+
+    def _slr_vars():
+        if "vars" not in slr_state:
+            slr = SLRModel(opt.replace(use_alpha0_as_blending_weight=True))
+            v = jit_init(
+                slr,
+                {"params": jax.random.PRNGKey(2),
+                 "noise": jax.random.PRNGKey(3)},
+                img, False, True,
+            )
+            slr_state["slr"] = slr
+            slr_state["vars"] = settle(slr, v, (img,), n=2)
+        return slr_state["slr"], slr_state["vars"]
+
+    def run_slr_thunk():
+        if "run" not in slr_state:
+            slr, _ = _slr_vars()
+            slr_state["run"] = jax.jit(
+                lambda v_, i, f, p, va: slr_rollout_sparse(
+                    slr, v_, i, f, N, p, va, decode_batch=DECODE_BATCH,
+                    compute_dtype=jnp.bfloat16, splat_dtype=jnp.bfloat16))
+        return slr_state["run"](slr_state["vars"], img, flow, positions,
+                                valid)
+
+    extra("slr_fps", "SLR", run_slr_thunk)
 
     # SLR with use_softmax_splatter_v2: per-frame Z-norm forces the dense
-    # rollout (the advertised fallback for v2-trained checkpoints —
-    # VERDICT r1 weak #7 wanted a number attached)
-    slr_v2 = SLRModel(opt.replace(use_alpha0_as_blending_weight=True,
-                                  use_softmax_splatter_v2=True))
-    run_v2 = jax.jit(lambda v, i, f: slr_rollout_sparse(
-        slr_v2, v, i, f, N, positions, valid, decode_batch=DECODE_BATCH,
-        compute_dtype=jnp.bfloat16))
-    extra("slr_v2_dense_fps", "SLR v2 (dense fallback)",
-          lambda: run_v2(slr_vars, img, flow))
+    # rollout (the advertised fallback for v2-trained checkpoints)
+    def run_slr_v2_thunk():
+        if "run_v2" not in slr_state:
+            _slr_vars()
+            slr_v2 = SLRModel(opt.replace(use_alpha0_as_blending_weight=True,
+                                          use_softmax_splatter_v2=True))
+            slr_state["run_v2"] = jax.jit(
+                lambda v_, i, f: slr_rollout_sparse(
+                    slr_v2, v_, i, f, N, positions, valid,
+                    decode_batch=DECODE_BATCH, compute_dtype=jnp.bfloat16))
+        return slr_state["run_v2"](slr_state["vars"], img, flow)
 
-    print(json.dumps({
-        "metric": "rollout_fps_60f_480x256",
-        "value": round(fps, 2),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps / 60.0, 3),
-        **extras,
-    }))
+    extra("slr_v2_dense_fps", "SLR v2 (dense fallback)", run_slr_v2_thunk)
+
+    emit(extras)
 
 
 if __name__ == "__main__":

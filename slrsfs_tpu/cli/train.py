@@ -96,6 +96,14 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     p.add_argument("--init-from", default=None,
                    help="reference .pth to warm-start from")
+    p.add_argument("--init-bg-from", default=None,
+                   help="stage-2 BG .pth whose net_bg.* keys overlay "
+                        "--init-from for SLR stage 3 (reference "
+                        "--load_bg_model, ...joint_finetuneBGFluid_L1.py:454)")
+    p.add_argument("--init-motion-from", default=None,
+                   help="motion-regressor .pth merged with the "
+                        "motion_predictor remap (reference "
+                        "--load_motion_regressor, :441-449)")
     p.add_argument("--vgg-pth", default=None,
                    help="torchvision vgg19 state_dict for the content loss")
     p.add_argument("--seed", type=int, default=0)
@@ -192,9 +200,23 @@ def main(argv=None):
         ckpt = load_torch_checkpoint(a.init_from)
         sd = ckpt.get("state_dict", ckpt)
         if slr:
-            from slrsfs_tpu.io.checkpoint import import_slr_model
+            from slrsfs_tpu.io.checkpoint import (
+                import_slr_model,
+                merge_stage3_state_dict,
+            )
 
-            variables = import_slr_model(sd, opt)
+            def _sd(path):
+                c = load_torch_checkpoint(path)
+                return c.get("state_dict", c)
+
+            sd = merge_stage3_state_dict(
+                sd,
+                sd_bg=_sd(a.init_bg_from) if a.init_bg_from else None,
+                sd_motion=_sd(a.init_motion_from)
+                if a.init_motion_from else None)
+            variables = import_slr_model(sd, opt, fallback={
+                "params": state.g_params, "batch_stats": state.g_stats,
+                "spectral": state.g_spectral})
         else:
             from slrsfs_tpu.io.checkpoint import import_baseline_model
 

@@ -79,31 +79,97 @@ def _clean_state_dict(sd: Mapping) -> Dict:
 
 def import_baseline_model(sd: Mapping, opt: Options) -> Dict[str, Dict]:
     """state_dict → BaselineModel variables ({'params','batch_stats','spectral'})."""
+    from slrsfs_tpu.nn.archs import get_resnet_arch
+
     r = KeyReader(_clean_state_dict(sd))
+    # live decode input = full encoder feature width (== layers_dec[0] for
+    # every reference-shipped config; differs in the Layers family, where the
+    # table understates it as 64 + addtional_decoder_input)
+    fs_w = get_resnet_arch(opt.refine_model_type, opt, 3)["layers_enc"][-1]
     tree = {
         "encoder": import_encoder(r, "encoder", opt, in_channels=3, with_z=True),
-        "projector": import_decoder_pconv2(r, "projector", opt),
+        "projector": import_decoder_pconv2(r, "projector", opt,
+                                           first_width=fs_w),
     }
     return split_collections(tree)
 
 
-def import_slr_model(sd: Mapping, opt: Options) -> Dict[str, Dict]:
-    """state_dict → SLRModel variables."""
+def merge_stage3_state_dict(sd_baseline: Mapping, sd_bg: Mapping = None,
+                            sd_motion: Mapping = None) -> Dict:
+    """Assemble the SLR stage-3 warm-start state_dict the way the reference
+    joint driver does (train_animating_alpha_2layers_joint_finetuneBGFluid_L1
+    .py:430-462): start from the stage-1 fluid checkpoint, overlay the
+    stage-2 BG checkpoint's ``net_bg.*`` keys, and optionally a motion
+    checkpoint with the ``motion_predictor`` →
+    ``motion_regressor.motion_predictor`` remap (:445-449). Submodules with
+    no keys in any source — the fresh alpha nets — are simply absent; pass
+    the trainer's random init as ``fallback`` to :func:`import_slr_model`
+    (reference equivalent: ``state_dict.update(pretrained_dict)`` over the
+    model's own init)."""
+    out = dict(strip_module_prefix(sd_baseline, prefixes=("model.", "module.")))
+    if sd_bg is not None:
+        bg = strip_module_prefix(sd_bg, prefixes=("model.", "module."))
+        out.update({k: v for k, v in bg.items() if "net_bg" in k})
+    if sd_motion is not None:
+        mo = strip_module_prefix(sd_motion, prefixes=("model.", "module."))
+        for k, v in mo.items():
+            if "motion_predictor" in k and "motion_regressor" not in k:
+                out["motion_regressor." + k] = v
+    return out
+
+
+def import_slr_model(sd: Mapping, opt: Options,
+                     fallback: Dict[str, Dict] = None) -> Dict[str, Dict]:
+    """state_dict → SLRModel variables.
+
+    With ``fallback`` (freshly initialized SLR variables), submodules whose
+    keys are absent from ``sd`` keep the fallback values — this is how the
+    reference stage-3 driver warm-starts: the alpha nets stay at random init
+    while fluid/bg come from earlier stages (``state_dict.update``,
+    train_animating_alpha_2layers_joint_finetuneBGFluid_L1.py:436-462)."""
     from slrsfs_tpu.models.slr import _alpha_opt, alpha_in_channels
+    from slrsfs_tpu.nn.archs import get_resnet_arch
 
     r = KeyReader(_clean_state_dict(sd))
     a_opt = _alpha_opt(opt)
-    tree = {
-        "encoder": import_encoder(r, "encoder", opt, in_channels=3, with_z=True),
-        "projector": import_decoder_pconv2(r, "projector", opt),
-        "net_bg": import_decoder_plain(r, "net_bg", opt,
-                                       model_type=opt.bg_refine_model_type),
-        "net_alpha_encoder": import_encoder(
+
+    # The live SLR packs the FULL encoder feature tensor through the splat,
+    # so the fluid decoder's first block sees layers_enc[-1] channels
+    # (= out_channel in the Layers family, = 64 in the reference's shipped
+    # 8UpDown64 SLR configs where the two coincide); the alpha decoder sees
+    # [gen_fs, warped_alpha] (slr.py decode_alpha input variants).
+    fs_w = get_resnet_arch(opt.refine_model_type, opt, 3)["layers_enc"][-1]
+    amt = opt.alpha_refine_model_type
+    alpha_in = 1 if "decouple" in amt else (4 if "image" in amt else fs_w + 1)
+
+    def have(prefix):
+        return any(k.startswith(prefix + ".") for k in r.sd)
+
+    builders = {
+        "encoder": lambda: import_encoder(r, "encoder", opt, in_channels=3,
+                                          with_z=True),
+        "projector": lambda: import_decoder_pconv2(r, "projector", opt,
+                                                   first_width=fs_w),
+        "net_bg": lambda: import_decoder_plain(
+            r, "net_bg", opt, model_type=opt.bg_refine_model_type),
+        "net_alpha_encoder": lambda: import_encoder(
             r, "net_alpha_encoder", a_opt,
             in_channels=alpha_in_channels(opt), with_z=False),
-        "net_alpha_decoder": import_decoder_pconv2(r, "net_alpha_decoder", a_opt),
+        "net_alpha_decoder": lambda: import_decoder_pconv2(
+            r, "net_alpha_decoder", a_opt, first_width=alpha_in),
     }
-    return split_collections(tree)
+    missing = [name for name in builders if not have(name)]
+    if missing and fallback is None:
+        raise KeyError(f"state_dict lacks submodules {missing} and no "
+                       "fallback init was provided")
+    cols = split_collections({name: fn() for name, fn in builders.items()
+                              if name not in missing})
+    for name in missing:
+        for col in ("params", "batch_stats", "spectral"):
+            sub = fallback.get(col, {})
+            if name in sub:
+                cols.setdefault(col, {})[name] = sub[name]
+    return cols
 
 
 def import_bg_model(sd: Mapping, opt: Options) -> Dict[str, Dict]:

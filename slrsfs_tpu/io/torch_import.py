@@ -204,10 +204,18 @@ def import_encoder(r: KeyReader, prefix: str, opt, in_channels: int = 3,
 
 
 def import_decoder_pconv2(r: KeyReader, prefix: str, opt,
-                          model_type: Optional[str] = None) -> Dict:
+                          model_type: Optional[str] = None,
+                          first_width: Optional[int] = None) -> Dict:
     """ResNetDecoderPconv2 ``<prefix>.eblocks.{i}`` → flax ``eblock_{i}``.
 
     Reference: models/networks/architectures.py:345-375.
+
+    ``first_width`` overrides ``layers_dec[0]`` (the first block's input
+    width). The flax decoders infer their input width from the actual tensor,
+    which for the SLR fluid decoder is the encoder's feature width
+    (``layers_enc[-1]`` = ``out_channel`` in the Layers arch family) rather
+    than the table's ``64 + addtional_decoder_input`` — the override keeps the
+    block-0 shortcut decision consistent with the live model.
     """
     from slrsfs_tpu.config import partial_bn as _pbn
     from slrsfs_tpu.config import spectral as _sp
@@ -216,7 +224,9 @@ def import_decoder_pconv2(r: KeyReader, prefix: str, opt,
 
     arch = get_resnet_arch(model_type or opt.refine_model_type, opt)
     sp, pbn, wrb = _sp(opt), _pbn(opt), _wrb(opt)
-    layers = arch["layers_dec"]
+    layers = list(arch["layers_dec"])
+    if first_width is not None:
+        layers[0] = first_width
     tree: Dict = {}
     for i in range(1, len(layers)):
         has_sc = _block_shortcut(layers[i - 1], layers[i], arch["upsample"][i - 1])

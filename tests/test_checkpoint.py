@@ -38,7 +38,11 @@ def _fake_reference_checkpoint(tmpdir):
     topt = ref_opt()
     arch = get_resnet_arch(OPT.refine_model_type, OPT, 3)
     enc = make_torch_encoder_with_z(arch, topt)
-    dec = make_torch_decoder_pconv2(arch, topt)
+    # live decode input = full encoder feature width (65 in the Layers
+    # family), which the table understates as 64 — mirror the live model
+    dec_arch = dict(arch, layers_dec=[arch["layers_enc"][-1]]
+                    + list(arch["layers_dec"])[1:])
+    dec = make_torch_decoder_pconv2(dec_arch, topt)
     enc.train(); dec.train()
     _warmup(enc.gblocks, (2, 3, 32, 32))
 
@@ -184,9 +188,11 @@ def test_import_optimizer_state_adam():
 
     topt = ref_opt()
     arch = get_resnet_arch(OPT.refine_model_type, OPT, 3)
+    dec_arch = dict(arch, layers_dec=[arch["layers_enc"][-1]]
+                    + list(arch["layers_dec"])[1:])
     m = tnn.Module()
     m.encoder = make_torch_encoder_with_z(arch, topt)
-    m.projector = make_torch_decoder_pconv2(arch, topt)
+    m.projector = make_torch_decoder_pconv2(dec_arch, topt)
 
     lr, b1, b2 = 1e-3, 0.0, 0.9
     adam = torch.optim.Adam(m.parameters(), lr=lr, betas=(b1, b2))
@@ -310,3 +316,93 @@ def test_import_motion_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got), want.numpy().transpose(0, 2, 3, 1),
         rtol=3e-4, atol=3e-4)
+
+
+def test_stage3_merged_init_partial_fallback():
+    """SLR stage-3 warm-start: fluid encoder/projector come from a stage-1
+    (fluid-only) checkpoint; submodules with no keys — net_bg and both alpha
+    nets here — keep the fresh init. Mirrors the reference's
+    ``state_dict.update`` warm-start over the model's own init
+    (train_animating_alpha_2layers_joint_finetuneBGFluid_L1.py:436-462)."""
+    from conftest import tiny_options
+    from slrsfs_tpu.io.checkpoint import (
+        import_slr_model,
+        merge_stage3_state_dict,
+    )
+    from slrsfs_tpu.models.slr import SLRModel
+
+    opt = tiny_options(
+        W=16, model_type="softmax_splating_2layers_alpha_seperate",
+        use_alpha0_as_blending_weight=True)
+    model = SLRModel(opt)
+    img = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    fresh = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img, False, True)
+    fresh = {k: jax.tree.map(np.asarray, dict(v)) for k, v in fresh.items()}
+
+    arch = get_resnet_arch(opt.refine_model_type, opt, 3)
+    enc = make_torch_encoder_with_z(arch, ref_opt())
+    # the live SLR fluid decoder's first block sees the full encoder feature
+    # width (layers_enc[-1] = out_channel here), not the table's layers_dec[0]
+    dec_arch = dict(arch,
+                    layers_dec=[arch["layers_enc"][-1]]
+                    + list(arch["layers_dec"])[1:])
+    dec = make_torch_decoder_pconv2(dec_arch, ref_opt())
+    sd = {f"model.module.encoder.{k}": v for k, v in enc.state_dict().items()}
+    sd.update({f"model.module.projector.{k}": v
+               for k, v in dec.state_dict().items()})
+
+    merged = merge_stage3_state_dict(sd)
+    variables = import_slr_model(merged, opt, fallback=fresh)
+
+    # fluid nets came from the checkpoint: compare the encoder's first conv
+    w = enc.state_dict()["gblocks.0.ch_a.2.weight_orig"]
+    got = variables["params"]["encoder"]["gblock_0"]["conv_aa"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got),
+                               w.numpy().transpose(2, 3, 1, 0), rtol=1e-6)
+
+    # absent submodules equal the fresh init, leaf for leaf
+    for name in ("net_bg", "net_alpha_encoder", "net_alpha_decoder"):
+        for col in ("params", "batch_stats", "spectral"):
+            if name not in fresh.get(col, {}):
+                continue
+            a = jax.tree.leaves(variables[col][name])
+            b = jax.tree.leaves(fresh[col][name])
+            assert len(a) == len(b) and all(
+                np.array_equal(x, y) for x, y in zip(a, b)), (name, col)
+
+    # the merged variables must actually APPLY: the fluid decoder's first
+    # block takes the full encoder feature width (9 here), which the arch
+    # table understates (layers_dec[0]=8) — regression guard for the
+    # first_width import override
+    out = model.apply(variables, jnp.zeros((1, 16, 16, 9), jnp.float32),
+                      method="decode_fluid")
+    assert out.shape == (1, 16, 16, 3)
+    ga = model.apply(variables, jnp.zeros((1, 16, 16, 9), jnp.float32),
+                     jnp.zeros((1, 16, 16, 1), jnp.float32),
+                     method="decode_alpha")
+    assert ga.shape[-1] == 1
+
+    # without a fallback, a partial state_dict must fail loudly
+    with pytest.raises(KeyError):
+        import_slr_model(merged, opt)
+
+
+def test_merge_stage3_overlays():
+    """BG overlay takes only net_bg.* keys; motion overlay applies the
+    motion_predictor → motion_regressor.motion_predictor remap
+    (reference :441-456)."""
+    from slrsfs_tpu.io.checkpoint import merge_stage3_state_dict
+
+    base = {"model.module.encoder.w": 1}
+    bg = {"model.module.net_bg.w": 2, "model.module.encoder.w": 9,
+          "model.module.loss_function.v": 3}
+    mo = {"model.module.motion_predictor.conv1.w": 4,
+          "model.module.netD.netD.d0.w": 5}
+    out = merge_stage3_state_dict(base, sd_bg=bg, sd_motion=mo)
+    assert out["encoder.w"] == 1  # bg ckpt must not clobber fluid weights
+    assert out["net_bg.w"] == 2
+    assert "loss_function.v" not in out
+    assert out["motion_regressor.motion_predictor.conv1.w"] == 4
+    assert "netD.netD.d0.w" not in out
