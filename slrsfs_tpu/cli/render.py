@@ -50,6 +50,169 @@ def edit_flow(flow: np.ndarray, rotate_deg: float = 0.0,
     return flow * scale
 
 
+class SceneRenderer:
+    """Checkpoint + jit state shared across scenes.
+
+    The reference scene loops (``test_all_CLAW_scenes.py:71-96``) spawn a
+    fresh ``python test_animating/...`` per scene, reloading the checkpoint
+    and re-building the model every time. Here one renderer holds the
+    imported variables, the motion regressor, and a jit cache keyed by the
+    sparse-set size bucket, so a 135-scene CLAW sweep compiles each rollout
+    shape once and pays only device time afterwards. Frame saving (PNG + mp4,
+    the dominant host cost) runs on a background thread, overlapping the next
+    scene's render; call ``finish()`` (or use one-shot ``render_scene``) to
+    join."""
+
+    def __init__(self, ckpt: str = None, W: int = 256, n_frames: int = 60,
+                 dtype: str = "float32", decode_batch: int = 60,
+                 seed: int = 0, motion_ckpt: str = None,
+                 opt_overrides: dict = None):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from slrsfs_tpu.config import Options
+        from slrsfs_tpu.models.baseline import BaselineModel
+        from slrsfs_tpu.models.slr import SLRModel
+
+        if ckpt:
+            from slrsfs_tpu.io.checkpoint import import_checkpoint
+
+            self.variables, opt = import_checkpoint(ckpt)
+            opt = opt.replace(W=W)
+        else:  # random weights (smoke/benchmark mode)
+            opt = Options(W=W, bn_noise_misc=True, **(opt_overrides or {}))
+            self.variables = None  # lazy jit_init on first render
+        self.opt = opt
+        self.slr = opt.model_type == "softmax_splating_2layers_alpha_seperate"
+        self.model = (SLRModel if self.slr else BaselineModel)(opt)
+        self.W, self.n_frames, self.seed = W, n_frames, seed
+        # 'bfloat16' = bf16 decode, f32 splat; 'bfloat16-fast' additionally
+        # accumulates the splat scatter in bf16 (frames agree to ~4e-3)
+        self.compute_dtype = (jnp.bfloat16 if dtype.startswith("bfloat16")
+                              else jnp.float32)
+        self.splat_dtype = jnp.bfloat16 if dtype == "bfloat16-fast" else None
+        db = decode_batch
+        while n_frames % db:
+            db -= 1
+        self.decode_batch = db
+
+        self.regressor = self.m_vars = None
+        if motion_ckpt:
+            from slrsfs_tpu.io.checkpoint import import_checkpoint
+            from slrsfs_tpu.models.motion import MotionRegressor
+
+            self.m_vars, m_opt = import_checkpoint(motion_ckpt)
+            m_opt = m_opt.replace(W=W, motionW=W, motionH=W)
+            self.regressor = MotionRegressor(m_opt)
+            self._predict_motion = jax.jit(
+                lambda v, i, m, h: self.regressor.apply(v, i, m, h))
+
+        self._jit_cache = {}
+        self._save_pool = ThreadPoolExecutor(max_workers=1)
+        self._pending = []
+
+    def _ensure_variables(self, img):
+        if self.variables is None:
+            from slrsfs_tpu.engine.init_utils import jit_init, settle
+
+            v = jit_init(
+                self.model,
+                {"params": jax.random.PRNGKey(self.seed),
+                 "noise": jax.random.PRNGKey(self.seed + 1)}, img, False,
+                True)
+            self.variables = settle(self.model, v, (img,), n=6)
+        return self.variables
+
+    def _rollout(self, P: int, has_region: bool):
+        """Jitted rollout for one sparse-set size bucket."""
+        key = (P, has_region)
+        if key not in self._jit_cache:
+            from slrsfs_tpu.engine.rollout import (
+                baseline_rollout_sparse,
+                slr_rollout_sparse,
+            )
+
+            if self.slr:
+                fn = jax.jit(lambda v, i, f, p, va, rg: slr_rollout_sparse(
+                    self.model, v, i, f, self.n_frames, p, va,
+                    decode_batch=self.decode_batch,
+                    compute_dtype=self.compute_dtype,
+                    splat_dtype=self.splat_dtype,
+                    alpha_region=rg if has_region else None))
+            else:
+                fn = jax.jit(lambda v, i, f, p, va, rg: {
+                    "PredImg": baseline_rollout_sparse(
+                        self.model, v, i, f, self.n_frames, p, va,
+                        decode_batch=self.decode_batch,
+                        compute_dtype=self.compute_dtype,
+                        splat_dtype=self.splat_dtype)})
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def render(self, image_path: str, flow_path: str, save_dir: str,
+               name: str = None, speed: float = 1.0,
+               align_json: str = "None", rawsize: bool = False,
+               rotate: float = 0.0, flow_scale: float = 1.0,
+               alpha_region_path: str = None):
+        from slrsfs_tpu.data.transforms import transform_flow
+        from slrsfs_tpu.engine.rollout import prepare_scene_sparse
+
+        W, n_frames = self.W, self.n_frames
+        name = name or os.path.splitext(os.path.basename(image_path))[0]
+        out_dir = os.path.join(save_dir, name)
+        os.makedirs(out_dir, exist_ok=True)
+
+        img_pil = Image.open(image_path).convert("RGB")
+        out_w, out_h = img_pil.size if rawsize else (img_pil.size[0] // 2,
+                                                     img_pil.size[1] // 2)
+        img = np.asarray(img_pil.resize((W, W), Image.BILINEAR), np.float32)
+        img = jnp.asarray(((img / 255.0 - 0.5) / 0.5)[None])
+        variables = self._ensure_variables(img)
+
+        # --- flow ----------------------------------------------------------
+        flow = _load_flow(flow_path)
+        flow = edit_flow(flow, rotate, flow_scale)
+        flow = transform_flow(flow, W, None, mode="nearest", speed=speed)
+        if self.regressor is not None:
+            # motion-from-hints mode (reference
+            # test_motion_4eval_rawsize_threshold.py:163-219): the provided
+            # flow only seeds the moving mask + KMeans/RBF hints; the dense
+            # motion comes from the SPADE regressor.
+            from slrsfs_tpu.data.hints import synthesize_hint
+
+            hint, mask = synthesize_hint(flow, n_hints=5)
+            pred = self._predict_motion(
+                self.m_vars, img, jnp.asarray(mask)[None, ..., None],
+                jnp.asarray(hint)[None])
+            flow = np.asarray(pred[0])
+        if align_json and align_json != "None":
+            with open(align_json) as f:
+                align = json.load(f)
+            if name in align:
+                flow = flow * (align[name] / float(n_frames))
+        positions, valid = prepare_scene_sparse(flow)
+
+        region = jnp.zeros((1, W, W, 1), jnp.float32)
+        if alpha_region_path:
+            r = Image.open(alpha_region_path).convert("L").resize((W, W))
+            region = jnp.asarray(
+                np.asarray(r, np.float32)[None, ..., None] / 255.0)
+
+        run = self._rollout(positions.shape[0],
+                            has_region=alpha_region_path is not None)
+        outs = run(variables, img, jnp.asarray(flow),
+                   jnp.asarray(positions), jnp.asarray(valid), region)
+        outs = {k: np.asarray(v) for k, v in outs.items()}
+        self._pending.append(self._save_pool.submit(
+            _save_outputs, outs, out_dir, name, out_w, out_h))
+        return out_dir
+
+    def finish(self):
+        """Join pending background saves, re-raising any save error."""
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()
+
+
 def render_scene(image_path: str, flow_path: str, save_dir: str,
                  ckpt: str = None, name: str = None, W: int = 256,
                  n_frames: int = 60, speed: float = 1.0,
@@ -58,103 +221,23 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
                  dtype: str = "float32", decode_batch: int = 60,
                  alpha_region_path: str = None, seed: int = 0,
                  motion_ckpt: str = None, opt_overrides: dict = None):
-    from slrsfs_tpu.config import Options
-    from slrsfs_tpu.data.transforms import transform_flow
-    from slrsfs_tpu.engine.init_utils import jit_init, settle
-    from slrsfs_tpu.engine.rollout import (
-        baseline_rollout_sparse,
-        prepare_scene_sparse,
-        slr_rollout_sparse,
-    )
-    from slrsfs_tpu.models.baseline import BaselineModel
-    from slrsfs_tpu.models.slr import SLRModel
+    """One-shot render (reference single-scene driver equivalent).
 
-    name = name or os.path.splitext(os.path.basename(image_path))[0]
-    out_dir = os.path.join(save_dir, name)
-    os.makedirs(out_dir, exist_ok=True)
+    Scene loops should build one :class:`SceneRenderer` and call
+    ``render()`` per scene instead — it reuses the checkpoint import and the
+    compiled rollout across scenes."""
+    r = SceneRenderer(ckpt=ckpt, W=W, n_frames=n_frames, dtype=dtype,
+                      decode_batch=decode_batch, seed=seed,
+                      motion_ckpt=motion_ckpt, opt_overrides=opt_overrides)
+    out_dir = r.render(image_path, flow_path, save_dir, name=name,
+                       speed=speed, align_json=align_json, rawsize=rawsize,
+                       rotate=rotate, flow_scale=flow_scale,
+                       alpha_region_path=alpha_region_path)
+    r.finish()
+    return out_dir
 
-    # --- model -----------------------------------------------------------
-    if ckpt:
-        from slrsfs_tpu.io.checkpoint import import_checkpoint
 
-        variables, opt = import_checkpoint(ckpt)
-        opt = opt.replace(W=W)
-    else:  # random weights (smoke/benchmark mode)
-        opt = Options(W=W, bn_noise_misc=True, **(opt_overrides or {}))
-    slr = opt.model_type == "softmax_splating_2layers_alpha_seperate"
-    model = (SLRModel if slr else BaselineModel)(opt)
-    img_pil = Image.open(image_path).convert("RGB")
-    out_w, out_h = img_pil.size if rawsize else (img_pil.size[0] // 2,
-                                                 img_pil.size[1] // 2)
-    img = np.asarray(img_pil.resize((W, W), Image.BILINEAR), np.float32)
-    img = ((img / 255.0 - 0.5) / 0.5)[None]
-    img = jnp.asarray(img)
-    if not ckpt:
-        variables = jit_init(
-            model, {"params": jax.random.PRNGKey(seed),
-                    "noise": jax.random.PRNGKey(seed + 1)}, img, False, True)
-        variables = settle(model, variables, (img,), n=6)
-
-    # --- flow --------------------------------------------------------------
-    flow = _load_flow(flow_path)
-    flow = edit_flow(flow, rotate, flow_scale)
-    flow = transform_flow(flow, W, None, mode="nearest", speed=speed)
-    if motion_ckpt:
-        # motion-from-hints mode (reference
-        # test_motion_4eval_rawsize_threshold.py:163-219): the provided flow
-        # only seeds the moving mask + KMeans/RBF hints; the dense motion
-        # comes from the SPADE regressor.
-        from slrsfs_tpu.data.hints import moving_mask_threshold, synthesize_hint
-        from slrsfs_tpu.io.checkpoint import import_checkpoint
-        from slrsfs_tpu.models.motion import MotionRegressor
-
-        m_vars, m_opt = import_checkpoint(motion_ckpt)
-        m_opt = m_opt.replace(W=W, motionW=W, motionH=W)
-        regressor = MotionRegressor(m_opt)
-        hint, mask = synthesize_hint(flow, n_hints=5)
-        pred = jax.jit(lambda v, i, m, h: regressor.apply(v, i, m, h))(
-            m_vars, img, jnp.asarray(mask)[None, ..., None],
-            jnp.asarray(hint)[None])
-        flow = np.asarray(pred[0])
-    if align_json and align_json != "None":
-        with open(align_json) as f:
-            align = json.load(f)
-        if name in align:
-            flow = flow * (align[name] / float(n_frames))
-    positions, valid = prepare_scene_sparse(flow)
-
-    # 'bfloat16' = bf16 decode, f32 splat; 'bfloat16-fast' additionally
-    # accumulates the splat scatter in bf16 (fastest; frames agree to ~4e-3)
-    compute_dtype = (jnp.bfloat16 if dtype.startswith("bfloat16")
-                     else jnp.float32)
-    splat_dtype = jnp.bfloat16 if dtype == "bfloat16-fast" else None
-    db = decode_batch
-    while n_frames % db:
-        db -= 1
-
-    # --- fused rollout -------------------------------------------------------
-    if slr:
-        region = None
-        if alpha_region_path:
-            r = Image.open(alpha_region_path).convert("L").resize((W, W))
-            region = jnp.asarray(np.asarray(r, np.float32)[None, ..., None] / 255.0)
-        outs = jax.jit(
-            lambda v, i, f, p, va: slr_rollout_sparse(
-                model, v, i, f, n_frames, p, va, decode_batch=db,
-                compute_dtype=compute_dtype, splat_dtype=splat_dtype,
-                alpha_region=region)
-        )(variables, img, jnp.asarray(flow), jnp.asarray(positions),
-          jnp.asarray(valid))
-    else:
-        frames = jax.jit(
-            lambda v, i, f, p, va: baseline_rollout_sparse(
-                model, v, i, f, n_frames, p, va, decode_batch=db,
-                compute_dtype=compute_dtype, splat_dtype=splat_dtype)
-        )(variables, img, jnp.asarray(flow), jnp.asarray(positions),
-          jnp.asarray(valid))
-        outs = {"PredImg": frames}
-
-    # --- save -----------------------------------------------------------------
+def _save_outputs(outs, out_dir, name, out_w, out_h):
     import cv2
 
     for key, arr in outs.items():

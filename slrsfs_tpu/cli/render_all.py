@@ -35,12 +35,17 @@ def main(argv=None):
                    help="motion file suffix paired with _input.jpg")
     a = p.parse_args(argv)
 
-    from slrsfs_tpu.cli.render import render_scene
+    from slrsfs_tpu.cli.render import SceneRenderer
 
     inputs = sorted(glob.glob(os.path.join(a.scenes_dir, "*_input.jpg")))
     end = len(inputs) if a.end < 0 else a.end
     inputs = inputs[a.start:end]
     print(f"rendering {len(inputs)} scenes [{a.start}:{end})")
+    # one renderer for the whole sweep: the checkpoint imports once and each
+    # rollout shape bucket compiles once; PNG/mp4 saving overlaps the next
+    # scene's device work on a background thread
+    renderer = SceneRenderer(ckpt=a.ckpt, W=a.W, n_frames=a.n_frames,
+                             dtype=a.dtype)
     done, skipped = 0, []
     for img_path in inputs:
         name = os.path.basename(img_path)[: -len("_input.jpg")]
@@ -54,11 +59,11 @@ def main(argv=None):
             else:
                 skipped.append(name)
                 continue
-        render_scene(img_path, flow_path, a.save_dir, ckpt=a.ckpt, name=name,
-                     W=a.W, n_frames=a.n_frames, speed=a.speed,
-                     align_json=a.align, rawsize=a.rawsize, dtype=a.dtype)
+        renderer.render(img_path, flow_path, a.save_dir, name=name,
+                        speed=a.speed, align_json=a.align, rawsize=a.rawsize)
         done += 1
         print(f"[{done}/{len(inputs)}] {name}")
+    renderer.finish()
     if skipped:
         print(f"skipped (no motion file): {skipped}")
 

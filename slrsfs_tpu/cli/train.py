@@ -255,7 +255,9 @@ def main(argv=None):
             trainer.load_vgg(vgg)
             print("harvested pretrained VGG19 from the init checkpoint")
 
-    train_step = jax.jit(trainer.make_train_step())
+    # donate the state: params/opt-state buffers are dead after each step,
+    # so XLA reuses them in place — halves peak HBM for the training state
+    train_step = jax.jit(trainer.make_train_step(), donate_argnums=(0,))
     eval_step = jax.jit(trainer.make_eval_step())
 
     rng = jax.random.PRNGKey(a.seed + 1)

@@ -38,3 +38,38 @@ def test_render_scene_from_checkpoint(tmp_path):
     assert np.isfinite(arr).all()
     # mp4 assembled (cv2 fallback when no ffmpeg)
     assert any(f.endswith(".mp4") for f in os.listdir(out))
+
+
+def test_scene_renderer_reuses_jit_across_scenes(tmp_path):
+    """A scene-loop renderer imports the checkpoint once and compiles each
+    rollout shape bucket once — the second same-shaped scene must reuse the
+    cached jit (reference scene loops respawn python per scene,
+    test_all_CLAW_scenes.py:71-96; this is the framework's batched
+    replacement)."""
+    from slrsfs_tpu.cli.render import SceneRenderer
+    from slrsfs_tpu.data.tensors import save_motion
+
+    ckpt_path, _, _ = _fake_reference_checkpoint(str(tmp_path))
+    rng = np.random.default_rng(1)
+    motion = np.zeros((64, 96, 2), np.float32)
+    motion[32:, :, 0] = 1.0
+    scenes = []
+    for i in range(2):
+        img = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+        ip = str(tmp_path / f"s{i}_input.jpg")
+        Image.fromarray(img).save(ip)
+        fp = str(tmp_path / f"s{i}_motion.npz")
+        save_motion(fp, motion)
+        scenes.append((ip, fp))
+
+    r = SceneRenderer(ckpt=ckpt_path, W=32, n_frames=6, decode_batch=3)
+    outs = [r.render(ip, fp, str(tmp_path / "out"), name=f"s{i}")
+            for i, (ip, fp) in enumerate(scenes)]
+    r.finish()
+    assert len(r._jit_cache) == 1  # same sparse bucket → one compile
+    for i, out in enumerate(outs):
+        frames = sorted(os.listdir(os.path.join(out, "PredImg")))
+        assert len(frames) == 6, out
+    a0 = np.asarray(Image.open(os.path.join(outs[0], "PredImg", "000002.png")))
+    a1 = np.asarray(Image.open(os.path.join(outs[1], "PredImg", "000002.png")))
+    assert a0.shape == a1.shape and not np.array_equal(a0, a1)
