@@ -16,8 +16,9 @@ Additional labeled numbers in the same JSON object:
 * ``slr_fps``              — two-layer SLR model (fluid + alpha + composite)
 * ``rawsize768_fps``       — 768x768 model input, the CLAW eval protocol
   resolution (test_animating/CLAW/test_v1.sh:19)
-* ``slr_v2_dense_fps``     — SLR with use_softmax_splatter_v2 (per-frame
-  Z-norm), which takes the dense fallback path — the speed a v2-trained
+* ``slr_v2_fps``           — SLR with use_softmax_splatter_v2: the per-frame
+  max-warp Z-norm now runs on the sparse path
+  (ops/splat.py:maximum_warp_norm_sparse) — the speed a v2-trained
   checkpoint actually gets
 
 Extras degrade gracefully: each runs under a wall-clock budget
@@ -214,7 +215,8 @@ def main():
                     decode_batch=DECODE_BATCH, compute_dtype=jnp.bfloat16))
         return slr_state["run_v2"](slr_state["vars"], img, flow)
 
-    extra("slr_v2_dense_fps", "SLR v2 (dense fallback)", run_slr_v2_thunk)
+    extra("slr_v2_fps", "SLR v2 (sparse per-frame max-warp-norm)",
+          run_slr_v2_thunk)
 
     emit(extras)
 

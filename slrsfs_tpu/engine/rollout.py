@@ -123,8 +123,10 @@ def make_jit_rollout(model: BaselineModel, n_frames: int):
 # onto themselves with weight (1,0,0,0) in every frame (their Euler trajectory
 # never moves), so their contribution is the identity U·static_mask and only
 # the moving set needs scattering. This is exact, not an approximation.
-# Not compatible with per-frame v2 Z-norm (which max-splats over the full
-# grid); baseline_rollout_sparse falls back to the dense path in that case.
+# The per-frame v2 Z-norm (max-splat over the grid) obeys the same
+# invariant: static pixels' max-splat/inverse-gather contributions reduce to
+# fixed stencils, so only the moving set scatters
+# (ops/splat.py:maximum_warp_norm_sparse).
 
 import numpy as np
 
@@ -174,9 +176,7 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     opt = model.opt
     N = n_frames
     assert N % decode_batch == 0, (N, decode_batch)
-    if opt.use_softmax_splatter_v2:
-        return baseline_rollout(model, variables, img, flow, N,
-                                decode_batch=decode_batch)
+    v2 = opt.use_softmax_splatter_v2
 
     H, W = flow.shape[0], flow.shape[1]
 
@@ -192,27 +192,63 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
 
     fs, z = model.apply(variables, img, method="encode")
     z = z_for_splat(opt, fs, z)
-    zn = z_normalize(opt, z, None)
-    u = pack_splat_input(fs, zn)[0].astype(splat_dtype)  # (H, W, C+1)
 
-    # static identity contribution: alpha·U + (1-alpha)·U = U on static pixels
     moving_mask = jnp.zeros((H, W), jnp.float32).at[
         positions[:, 1], positions[:, 0]
     ].max(valid)
-    u_static = (u * (1.0 - moving_mask)[..., None]).astype(splat_dtype)
+    static_mask = 1.0 - moving_mask
 
-    u_mov = (u[positions[:, 1], positions[:, 0]]
-             * valid[:, None]).astype(splat_dtype)  # (P, C+1)
+    if not v2:
+        zn = z_normalize(opt, z, None)
+        u = pack_splat_input(fs, zn)[0].astype(splat_dtype)  # (H, W, C+1)
+        # static identity: alpha·U + (1-alpha)·U = U on static pixels
+        u_static = (u * static_mask[..., None]).astype(splat_dtype)
+        u_mov = (u[positions[:, 1], positions[:, 0]]
+                 * valid[:, None]).astype(splat_dtype)  # (P, C+1)
+    else:
+        # per-frame v2 maximum-warp-norm (previously a dense fallback):
+        # only e^zn changes per frame, so cache the feature gathers and
+        # rebuild the packed rows inside the scan (ops/splat.py
+        # maximum_warp_norm_sparse)
+        from slrsfs_tpu.ops.splat import maximum_warp_norm_sparse
+
+        z2d = z[0, ..., 0].astype(jnp.float32)
+        z_mov = z2d[positions[:, 1], positions[:, 0]]
+        fs_static = fs[0].astype(jnp.float32) * static_mask[..., None]
+        fs_mov = (fs[0][positions[:, 1], positions[:, 0]]
+                  .astype(jnp.float32) * valid[:, None])
+
+        def v2_pack(t_disp):
+            zmax_d, zmax_m = maximum_warp_norm_sparse(
+                z2d, static_mask, z_mov, positions, valid, t_disp, H, W)
+            zn_d = z2d - zmax_d
+            zn_m = z_mov - zmax_m
+            if not opt.no_clamp_Z:
+                zn_d = jnp.clip(zn_d, -20.0, 20.0)
+                zn_m = jnp.clip(zn_m, -20.0, 20.0)
+            e_d = (jnp.exp(zn_d) * static_mask)[..., None]
+            e_m = (jnp.exp(zn_m) * valid)[:, None]
+            u_static_t = jnp.concatenate(
+                [fs_static * e_d, e_d], axis=-1).astype(splat_dtype)
+            u_mov_t = jnp.concatenate(
+                [fs_mov * e_m, e_m], axis=-1).astype(splat_dtype)
+            return u_static_t, u_mov_t
 
     # both directions in one scan (halves the fixed per-step overhead)
     disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
 
     def frame(_, t):
         alpha = 1.0 - t.astype(jnp.float32) / N
+        if v2:
+            # one Z-norm from the forward flow feeds both ends (reference
+            # forward_flow :849-895)
+            u_static_t, u_mov_t = v2_pack(disp_f[t])
+        else:
+            u_static_t, u_mov_t = u_static, u_mov
         # both ends in ONE scatter op (per-op overhead dominates; splat.py)
         g = (softsplat_sum_at_quad_dual(
-            u_mov, positions, disp_f[t], disp_p[N - t],
-            alpha, 1.0 - alpha, H, W) + u_static).astype(jnp.float32)
+            u_mov_t, positions, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, H, W) + u_static_t).astype(jnp.float32)
         norm = jnp.maximum(g[..., -1:], 1e-8)
         return None, (g[..., :-1] / norm).astype(compute_dtype)
 
@@ -301,13 +337,7 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
     opt = model.opt
     N = n_frames
     assert N % decode_batch == 0, (N, decode_batch)
-    if opt.use_softmax_splatter_v2:
-        # per-frame max-warp Z-norm needs the full grid — dense fallback
-        return slr_rollout_dense(model, variables, img, flow, N,
-                                 bg_img_raw=bg_img_raw,
-                                 alpha_region=alpha_region,
-                                 mask_rock=mask_rock,
-                                 decode_batch=decode_batch)
+    v2 = opt.use_softmax_splatter_v2
     H, W = flow.shape[0], flow.shape[1]
 
     if compute_dtype != jnp.float32:
@@ -322,7 +352,6 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
     from slrsfs_tpu.models.baseline import z_for_splat, z_normalize
 
     z = z_for_splat(opt, fs, z)
-    zn = z_normalize(opt, z, None)
 
     if bg_img_raw is None:
         bg_img_raw = model.apply(variables, img, method="bg")
@@ -333,28 +362,71 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
         **_alpha_extras(opt, img, flow, bg_img_raw, mask_rock))
     a_bg_sig = jax.nn.sigmoid(a_bg_logits.astype(jnp.float32))
 
-    u, use_alpha0 = slr_pack_splat_input(
-        opt, fs.astype(jnp.float32), zn.astype(jnp.float32),
-        a_fl_logits.astype(jnp.float32), a_bg_sig,
-    )
     splat_dtype = jnp.dtype(splat_dtype or jnp.float32)
-    u = u[0].astype(splat_dtype)  # (H, W, C)
-
     moving_mask = jnp.zeros((H, W), jnp.float32).at[
         positions[:, 1], positions[:, 0]
     ].max(valid)
-    u_static = (u * (1.0 - moving_mask)[..., None]).astype(splat_dtype)
-    u_mov = (u[positions[:, 1], positions[:, 0]]
-             * valid[:, None]).astype(splat_dtype)
+    static_mask = 1.0 - moving_mask
+
+    if not v2:
+        zn = z_normalize(opt, z, None)
+        u, use_alpha0 = slr_pack_splat_input(
+            opt, fs.astype(jnp.float32), zn.astype(jnp.float32),
+            a_fl_logits.astype(jnp.float32), a_bg_sig,
+        )
+        u = u[0].astype(splat_dtype)  # (H, W, C)
+        u_static = (u * static_mask[..., None]).astype(splat_dtype)
+        u_mov = (u[positions[:, 1], positions[:, 0]]
+                 * valid[:, None]).astype(splat_dtype)
+    else:
+        # per-frame v2 maximum-warp-norm, sparse (previously dense fallback).
+        # The packed tensor is (base channels)·e^zn on the Z-scaled channels
+        # only — base (zn = 0) is frame-constant, so the scan rebuilds rows
+        # from cached gathers and one sparse max-norm per frame.
+        from slrsfs_tpu.ops.splat import maximum_warp_norm_sparse
+
+        base, use_alpha0 = slr_pack_splat_input(
+            opt, fs.astype(jnp.float32),
+            jnp.zeros_like(z, dtype=jnp.float32),
+            a_fl_logits.astype(jnp.float32), a_bg_sig,
+        )
+        base = base[0]  # (H, W, C)
+        C = base.shape[-1]
+        nfs = C - 3 if use_alpha0 else C - 2
+        # channels scaled by e^Z: [fs·e^Z, af·e^C, e^C, e^Z] / [.., af·e^Z, e^Z]
+        sel = (jnp.array([1.0] * nfs + [0.0, 0.0, 1.0], jnp.float32)
+               if use_alpha0 else jnp.ones((C,), jnp.float32))
+        base_static = base * static_mask[..., None]
+        base_mov = base[positions[:, 1], positions[:, 0]] * valid[:, None]
+        z2d = z[0, ..., 0].astype(jnp.float32)
+        z_mov = z2d[positions[:, 1], positions[:, 0]]
+
+        def v2_pack(t_disp):
+            zmax_d, zmax_m = maximum_warp_norm_sparse(
+                z2d, static_mask, z_mov, positions, valid, t_disp, H, W)
+            zn_d = z2d - zmax_d
+            zn_m = z_mov - zmax_m
+            if not opt.no_clamp_Z:
+                zn_d = jnp.clip(zn_d, -20.0, 20.0)
+                zn_m = jnp.clip(zn_m, -20.0, 20.0)
+            e_d = jnp.exp(zn_d)[..., None] * sel + (1.0 - sel)
+            e_m = jnp.exp(zn_m)[:, None] * sel + (1.0 - sel)
+            return ((base_static * e_d).astype(splat_dtype),
+                    (base_mov * e_m).astype(splat_dtype))
 
     # both directions in one scan (halves the fixed per-step overhead)
     disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
 
     def frame(_, t):
         alpha = jnp.clip(1.0 - t.astype(jnp.float32) / N, ALPHA_MIN, ALPHA_MAX)
+        if v2:
+            # one Z-norm from the forward flow feeds both ends
+            u_static_t, u_mov_t = v2_pack(disp_f[t])
+        else:
+            u_static_t, u_mov_t = u_static, u_mov
         g = (softsplat_sum_at_quad_dual(
-            u_mov, positions, disp_f[t], disp_p[N - t],
-            alpha, 1.0 - alpha, H, W) + u_static)[None].astype(jnp.float32)
+            u_mov_t, positions, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, H, W) + u_static_t)[None].astype(jnp.float32)
         gen_fs, af_warped = slr_unpack_splatted(g, use_alpha0)
         return None, (gen_fs[0].astype(compute_dtype),
                       af_warped[0].astype(compute_dtype))

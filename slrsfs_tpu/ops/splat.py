@@ -449,3 +449,139 @@ def softsplat_sum_at_quad(u: Array, positions: Array, disp: Array,
            + buf[pad - width:pad - width + HW, 2 * C:3 * C]
            + buf[pad - width - 1:pad - width - 1 + HW, 3 * C:])
     return out.reshape(height, width, C)
+
+
+# ---------------------------------------------------------------------------
+# Sparse per-frame MaximumWarpNorm (softmax-splatting "v2" Z normalization)
+# ---------------------------------------------------------------------------
+#
+# The v2 variant re-normalizes Z per frame by the maximum-warp-norm of the
+# integrated displacement (reference models/softsplat.py:576-624 via
+# animating_softmax_splating.py:593-605), which previously forced the dense
+# rollout. The sparse equivalent below exploits the same invariant as the
+# sum splat: zero-motion pixels keep displacement 0 in every frame, so their
+# max-splat contributions are a FIXED 3-tap stencil (value z at their own
+# cell, value 0 at the east/south/southeast cells — the dense kernel's
+# weighted contributions z·1 and z·0 at the four bilinear corners), and only
+# the moving set needs a scatter. The inverse gather similarly splits into a
+# fixed 4-tap stencil for static pixels and one 4-wide-row gather for the
+# moving set.
+
+_STENCIL_NEG = -jnp.inf
+
+
+def _shift2d(a: Array, dy: int, dx: int, fill) -> Array:
+    """(H, W) array shifted so out[y, x] = a[y+dy, x+dx], `fill` outside."""
+    H, W = a.shape
+    out = jnp.full_like(a, fill)
+    ys = slice(max(dy, 0), H + min(dy, 0))
+    yd = slice(max(-dy, 0), H + min(-dy, 0))
+    xs = slice(max(dx, 0), W + min(dx, 0))
+    xd = slice(max(-dx, 0), W + min(-dx, 0))
+    return out.at[yd, xd].set(a[ys, xs])
+
+
+def maximum_warp_norm_sparse(z: Array, static_mask: Array, z_mov: Array,
+                             positions: Array, valid: Array, disp: Array,
+                             height: int, width: int):
+    """Sparse ``maximum_warp_norm_splat``: → (zmax_dense, zmax_mov).
+
+    z: (H, W) float32 dense Z; static_mask: (H, W) 1.0 where motion is zero;
+    z_mov/positions/valid/disp: compacted moving set ((P,), (P,2) int32 xy,
+    (P,), (P,2)).
+
+    Returns the per-source-pixel max used by the v2 normalization
+    (z - zmax): ``zmax_dense`` (H, W) is exact at STATIC pixels (moving
+    entries are a lower bound — callers mask them out), ``zmax_mov`` (P,) is
+    exact at the moving set. Equivalent of
+    ``maximum_warp_norm_splat(z[None,...,None], disp_dense[None])`` when the
+    static set truly has zero displacement.
+    """
+    H, W = height, width
+    HW = H * W
+    fdt = z.dtype
+    neg = jnp.asarray(_NEG_INIT, fdt)
+    is_static = static_mask > 0.5
+
+    # ---- forward max-splat: target-cell max of z·w over the 4 corners ----
+    # static contributions: z at own cell (w=1), 0 at E/S/SE cells (w=0,
+    # valid whenever in-bounds)
+    mx_static = jnp.where(is_static, z, neg)
+    zero_contrib = (_shift2d(static_mask, 0, -1, 0.0)
+                    + _shift2d(static_mask, -1, 0, 0.0)
+                    + _shift2d(static_mask, -1, -1, 0.0)) > 0.5
+    mx_init = jnp.maximum(mx_static, jnp.where(zero_contrib, 0.0, neg))
+
+    # moving contributions: quad-packed scatter-max (one 4-wide row/pixel)
+    ox = positions[:, 0].astype(disp.dtype) + disp[:, 0]
+    oy = positions[:, 1].astype(disp.dtype) + disp[:, 1]
+    x0f = jnp.floor(ox)
+    y0f = jnp.floor(oy)
+    dx = ox - x0f
+    dy = oy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    ok = valid > 0.5
+
+    def corner_val(w, cx, cy):
+        v = jnp.where((cx >= 0) & (cx < W) & (cy >= 0) & (cy < H) & ok,
+                      z_mov * w, -jnp.inf)
+        return v[:, None]
+
+    upd = jnp.concatenate([
+        corner_val((1.0 - dx) * (1.0 - dy), x0, y0),
+        corner_val(dx * (1.0 - dy), x0 + 1, y0),
+        corner_val((1.0 - dx) * dy, x0, y0 + 1),
+        corner_val(dx * dy, x0 + 1, y0 + 1),
+    ], axis=-1)
+    pad = W + 1
+    q = jnp.clip(y0 * W + x0 + pad, 0, HW + 2 * pad - 1)
+    buf = jnp.full((HW + 2 * pad, 4), -jnp.inf, fdt).at[q].max(upd)
+    mx_mov = jnp.maximum(
+        jnp.maximum(buf[pad:pad + HW, 0], buf[pad - 1:pad - 1 + HW, 1]),
+        jnp.maximum(buf[pad - W:pad - W + HW, 2],
+                    buf[pad - W - 1:pad - W - 1 + HW, 3]),
+    ).reshape(H, W)
+    mx = jnp.maximum(mx_init, mx_mov)
+
+    # ---- inverse gather: per-source max of init=z and the 4 target cells --
+    # static pixels: target = self → fixed [self, E, S, SE] stencil
+    zmax_dense = jnp.maximum(
+        z,
+        jnp.maximum(
+            jnp.maximum(mx, _shift2d(mx, 0, 1, _STENCIL_NEG)),
+            jnp.maximum(_shift2d(mx, 1, 0, _STENCIL_NEG),
+                        _shift2d(mx, 1, 1, _STENCIL_NEG)),
+        ),
+    )
+
+    # moving pixels: one gather of 4-wide rows from the shifted view
+    view = jnp.stack([
+        mx, _shift2d(mx, 0, 1, _STENCIL_NEG),
+        _shift2d(mx, 1, 0, _STENCIL_NEG), _shift2d(mx, 1, 1, _STENCIL_NEG),
+    ], axis=-1).reshape(HW, 4)
+    cx = jnp.clip(x0, 0, W - 1)
+    cy = jnp.clip(y0, 0, H - 1)
+    r = view[cy * W + cx]  # (P, 4): [mx(c), E, S, SE] at the clamped corner
+    xneg = x0 < 0  # NW column clamped up: E-taps shift into the base column
+    yneg = y0 < 0
+    inb_x = (x0 >= 0) & (x0 < W)
+    inb_x1 = (x0 + 1 >= 0) & (x0 + 1 < W)
+    inb_y = (y0 >= 0) & (y0 < H)
+    inb_y1 = (y0 + 1 >= 0) & (y0 + 1 < H)
+    ninf = -jnp.inf
+    t_nw = jnp.where(inb_x & inb_y, r[:, 0], ninf)
+    t_ne = jnp.where(inb_x1 & inb_y,
+                     jnp.where(xneg, r[:, 0], r[:, 1]), ninf)
+    t_sw = jnp.where(inb_x & inb_y1,
+                     jnp.where(yneg, r[:, 0], r[:, 2]), ninf)
+    t_se = jnp.where(inb_x1 & inb_y1,
+                     jnp.where(xneg & yneg, r[:, 0],
+                               jnp.where(xneg, r[:, 2],
+                                         jnp.where(yneg, r[:, 1], r[:, 3]))),
+                     ninf)
+    zmax_mov = jnp.maximum(
+        z_mov,
+        jnp.maximum(jnp.maximum(t_nw, t_ne), jnp.maximum(t_sw, t_se)),
+    )
+    return zmax_dense, zmax_mov

@@ -77,3 +77,70 @@ def test_prepare_scene_padding():
     assert pos.shape == (16, 2)
     assert valid.sum() == 1.0
     assert (pos[0] == [3, 2]).all()
+
+
+def test_maximum_warp_norm_sparse_matches_dense_op():
+    """maximum_warp_norm_sparse == maximum_warp_norm_splat at static pixels
+    (dense map) and moving pixels (compact vector), including border landings
+    and OOB targets."""
+    from slrsfs_tpu.ops.splat import (
+        maximum_warp_norm_sparse,
+        maximum_warp_norm_splat,
+    )
+
+    rng = np.random.default_rng(3)
+    H, W = 24, 20
+    z = rng.standard_normal((H, W)).astype(np.float32) * 2.0
+    flow = (rng.standard_normal((H, W, 2)) * 3.0).astype(np.float32)
+    flow[: H // 3] = 0.0         # static band
+    flow[H - 2 :, :, 1] = 30.0   # push off-grid (OOB targets)
+    flow[:, W - 2 :, 0] = -0.7   # fractional border landings
+
+    want = np.asarray(maximum_warp_norm_splat(
+        jnp.asarray(z)[None, ..., None], jnp.asarray(flow)[None]))[0, ..., 0]
+
+    positions, valid = prepare_scene_sparse(flow, pad_multiple=64)
+    static = (np.all(flow == 0.0, axis=-1)).astype(np.float32)
+    z_mov = z[positions[:, 1], positions[:, 0]]
+    disp = flow[positions[:, 1], positions[:, 0]]
+    got_d, got_m = maximum_warp_norm_sparse(
+        jnp.asarray(z), jnp.asarray(static), jnp.asarray(z_mov),
+        jnp.asarray(positions), jnp.asarray(valid), jnp.asarray(disp), H, W)
+
+    got_d = np.asarray(got_d)
+    np.testing.assert_allclose(got_d[static > 0.5], want[static > 0.5],
+                               rtol=1e-6, atol=1e-6)
+    got_m = np.asarray(got_m)[valid > 0.5]
+    want_m = want[positions[valid > 0.5, 1], positions[valid > 0.5, 0]]
+    np.testing.assert_allclose(got_m, want_m, rtol=1e-6, atol=1e-6)
+
+
+def test_sparse_equals_dense_v2():
+    """The v2 per-frame max-warp-norm rollout runs sparsely and must equal
+    the dense rollout exactly (previously a dense fallback)."""
+    rng = np.random.default_rng(13)
+    H = W = 32
+    N = 4
+    opt = Options(ngf=16, W=W, use_softmax_splatter_v2=True,
+                  use_softmax_splatter=False)
+    model = BaselineModel(opt)
+    img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img, False, True,
+    )
+    variables = settle(model, variables, (jnp.asarray(img),), n=8)
+
+    flow = (rng.standard_normal((H, W, 2)) * 1.2).astype(np.float32)
+    flow[: H // 2] = 0.0
+
+    dense = baseline_rollout(model, variables, jnp.asarray(img),
+                             jnp.asarray(flow), N)
+    positions, valid = prepare_scene_sparse(flow, pad_multiple=64)
+    sparse = baseline_rollout_sparse(
+        model, variables, jnp.asarray(img), jnp.asarray(flow), N,
+        jnp.asarray(positions), jnp.asarray(valid), decode_batch=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sparse), np.asarray(dense), rtol=2e-5, atol=2e-5
+    )

@@ -128,13 +128,18 @@ def test_slr_dense_matches_sparse_and_v2_runs():
                                np.asarray(dense["PredImg"]),
                                rtol=1e-5, atol=1e-5)
 
-    # v2 checkpoints route through the dense path (per-frame max-warp norm)
+    # v2 (per-frame max-warp norm) runs SPARSELY and must exactly match the
+    # dense path (which is the oracle for maximum_warp_norm_sparse)
     opt_v2 = _opt(use_softmax_splatter_v2=True, use_softmax_splatter=False)
     model_v2 = SLRModel(opt_v2)
     out = slr_rollout_sparse(
         model_v2, variables, jnp.asarray(img), jnp.asarray(flow), N,
         jnp.asarray(pos), jnp.asarray(valid), decode_batch=2)
-    assert np.isfinite(np.asarray(out["PredImg"])).all()
+    dense_v2 = slr_rollout_dense(
+        model_v2, variables, jnp.asarray(img), jnp.asarray(flow), N)
+    np.testing.assert_allclose(np.asarray(out["PredImg"]),
+                               np.asarray(dense_v2["PredImg"]),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_alpha_input_variants_and_akl():
