@@ -533,6 +533,81 @@ def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
     return jax.lax.with_sharding_constraint(frames, sh)
 
 
+def slr_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
+                              positions, valid, mesh, axis: str = "data",
+                              bg_img_raw=None, alpha_region=None,
+                              mask_rock=None):
+    """Frame-axis-sharded SLR inference (two-layer flagship model).
+
+    Same scheme as ``baseline_rollout_frame_sharded``: the per-scene work
+    (encode, background, alpha head, Euler scan) is replicated, then each
+    device renders N/n_devices frames — splat, fluid decode, alpha decode,
+    composite — with no collectives in the hot loop. Returns the same dict
+    as ``slr_rollout_sparse``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from slrsfs_tpu.models.baseline import z_for_splat, z_normalize
+
+    opt = model.opt
+    N = n_frames
+    H, W = flow.shape[0], flow.shape[1]
+    assert not opt.use_softmax_splatter_v2
+
+    fs, z = model.apply(variables, img, method="encode")
+    z = z_for_splat(opt, fs, z)
+    zn = z_normalize(opt, z, None)
+
+    if bg_img_raw is None:
+        bg_img_raw = model.apply(variables, img, method="bg")
+    bg_tanh = jnp.tanh(bg_img_raw)
+    a_bg_logits, a_fl_logits = model.apply(
+        variables, img, method="alpha_encode",
+        **_alpha_extras(opt, img, flow, bg_img_raw, mask_rock))
+    a_bg_sig = jax.nn.sigmoid(a_bg_logits)
+
+    u, use_alpha0 = slr_pack_splat_input(opt, fs, zn, a_fl_logits, a_bg_sig)
+    u = u[0]
+    moving_mask = jnp.zeros((H, W), jnp.float32).at[
+        positions[:, 1], positions[:, 0]
+    ].max(valid)
+    u_static = u * (1.0 - moving_mask)[..., None]
+    u_mov = u[positions[:, 1], positions[:, 0]] * valid[:, None]
+
+    disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
+
+    region = None
+    if alpha_region is not None:
+        region = gaussian_blur_region(alpha_region.astype(jnp.float32), W)
+
+    sh = NamedSharding(mesh, P(axis))
+
+    def frame(t):
+        alpha = jnp.clip(1.0 - t.astype(jnp.float32) / N, ALPHA_MIN, ALPHA_MAX)
+        g = (softsplat_sum_at_quad_dual(
+            u_mov, positions, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, H, W) + u_static)[None]
+        gen_fs, af_warped = slr_unpack_splatted(g, use_alpha0)
+        fluid = model.apply(variables, gen_fs, method="decode_fluid")
+        ga_logits = model.apply(variables, gen_fs, af_warped,
+                                method="decode_alpha", img=img)
+        ga = jax.nn.sigmoid(ga_logits)
+        gen, comp_alpha = slr_composite(fluid, ga, a_bg_sig, bg_tanh,
+                                        alpha_region=region, opt=opt,
+                                        ga_raw=ga_logits,
+                                        a_bg_raw=a_bg_logits)
+        return gen[0], fluid[0], comp_alpha[0]
+
+    ts = jax.lax.with_sharding_constraint(jnp.arange(N), sh)
+    gen, fluid, comp = jax.vmap(frame)(ts)
+    return {
+        "PredImg": jax.lax.with_sharding_constraint(gen, sh),
+        "FluidImg": jax.lax.with_sharding_constraint(fluid, sh),
+        "CompositeFluidAlpha": jax.lax.with_sharding_constraint(comp, sh),
+        "BGImg": bg_tanh[0],
+    }
+
+
 # ---------------------------------------------------------------------------
 # GT-motion direct warp (no network)
 # ---------------------------------------------------------------------------

@@ -159,3 +159,48 @@ def test_frame_sharded_rollout_matches_sparse():
     assert len(got.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_slr_frame_sharded_rollout_matches_sparse():
+    """Frame-sharded SLR inference over the 8-device CPU mesh must equal the
+    single-device sparse SLR rollout (the flagship two-layer model's
+    multi-chip path)."""
+    from slrsfs_tpu.engine.init_utils import settle
+    from slrsfs_tpu.engine.rollout import (
+        prepare_scene_sparse,
+        slr_rollout_frame_sharded,
+        slr_rollout_sparse,
+    )
+    from slrsfs_tpu.models.slr import SLRModel
+    from slrsfs_tpu.parallel.mesh import make_mesh, replicate
+
+    rng = np.random.default_rng(9)
+    H = W = 32
+    N = 8
+    opt = tiny_options(W=W,
+                       model_type="softmax_splating_2layers_alpha_seperate",
+                       use_alpha0_as_blending_weight=True)
+    model = SLRModel(opt)
+    img = jnp.asarray(rng.standard_normal((1, H, W, 3)) * 0.25, jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img, False, True,
+    )
+    variables = settle(model, variables, (img,), n=8)
+    flow = rng.standard_normal((H, W, 2)).astype(np.float32)
+    flow[: H // 2] = 0.0
+    pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
+
+    want = slr_rollout_sparse(
+        model, variables, img, jnp.asarray(flow), N,
+        jnp.asarray(pos), jnp.asarray(valid), decode_batch=4)
+
+    mesh = make_mesh(8)
+    run = jax.jit(lambda v, i, f, p, va: slr_rollout_frame_sharded(
+        model, v, i, f, N, p, va, mesh))
+    got = run(replicate(variables, mesh), img, jnp.asarray(flow),
+              jnp.asarray(pos), jnp.asarray(valid))
+    assert len(got["PredImg"].sharding.device_set) == 8
+    for k in ("PredImg", "FluidImg", "CompositeFluidAlpha"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
