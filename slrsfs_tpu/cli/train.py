@@ -189,7 +189,10 @@ def main(argv=None):
     start_epoch = 0
     best_perceptual = float("inf")
     ckpt_dir = os.path.join(a.out, "ckpt")
-    if a.resume and os.path.exists(ckpt_dir + ".meta.json"):
+    # require BOTH meta and data: a crash during an async save may leave
+    # meta.json without the (atomically-renamed) orbax dir
+    if (a.resume and os.path.exists(ckpt_dir + ".meta.json")
+            and os.path.isdir(ckpt_dir)):
         state, meta = restore_native(ckpt_dir, jax.tree.map(np.asarray, state))
         start_epoch = meta.get("epoch", 0) + 1
         best_perceptual = meta.get("best_perceptual", best_perceptual)
@@ -309,17 +312,23 @@ def main(argv=None):
             writer.add_image(f"val/{k}", np.clip(grid, 0, 1), epoch,
                              dataformats="HWC")
 
+        # async save: disk write overlaps the next epoch's training; the
+        # preemption handler and the final exit wait for durability
         save_native(ckpt_dir, state, opt, epoch=epoch,
                     extra={"best_perceptual": best_perceptual,
-                           "val": val_means})
+                           "val": val_means}, block=False)
         perceptual = val_means.get("Perceptual", val_means.get("Total Loss", 0))
         if perceptual < best_perceptual:
             best_perceptual = perceptual
             save_native(ckpt_dir + "_best", state, opt, epoch=epoch,
-                        extra={"best_perceptual": best_perceptual})
+                        extra={"best_perceptual": best_perceptual},
+                        block=False)
         print(f"epoch {epoch} done in {time.time()-t0:.0f}s; "
               f"val {val_means}", flush=True)
 
+    from slrsfs_tpu.io.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
     with open(halt_file, "w") as f:
         f.write("done")
     writer.close()

@@ -411,20 +411,48 @@ def import_optimizer_states(ckpt: Mapping, opt: Options,
 # Native (orbax) checkpoints
 # ---------------------------------------------------------------------------
 
-def save_native(path: str, state, opt: Options, epoch: int = 0,
-                extra: Optional[Dict] = None):
-    """Atomic orbax save of a TrainState (+ Options JSON + metadata)."""
+_CKPTR = None
+
+
+def _checkpointer():
     import orbax.checkpoint as ocp
 
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def save_native(path: str, state, opt: Options, epoch: int = 0,
+                extra: Optional[Dict] = None, block: bool = True):
+    """Atomic orbax save of a TrainState (+ Options JSON + metadata).
+
+    ``block=False`` returns as soon as the on-device state is snapshotted
+    and lets orbax write to disk in the background, overlapping the next
+    epoch's training (reference saves synchronously each epoch,
+    train_animating.py:243-263). Call :func:`wait_for_checkpoints` (or the
+    next blocking save) before reading the checkpoint back."""
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # serialize with any still-pending save
     ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
     meta = {"opts": json.loads(opt.to_json()), "epoch": epoch}
     if extra:
         meta.update(extra)
-    with open(path + ".meta.json", "w") as f:
+    # atomic meta write; restore_native treats meta-without-data (a crash
+    # during an async save) as no checkpoint
+    tmp = path + ".meta.json.tmp"
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
+    os.replace(tmp, path + ".meta.json")
+
+
+def wait_for_checkpoints():
+    """Block until all pending async saves are durable on disk."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
 
 
 def restore_native(path: str, abstract_state):

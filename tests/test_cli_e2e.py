@@ -87,3 +87,21 @@ def test_train_cli_one_epoch(fixture_root, tmp_path):
     assert meta["epoch"] == 0
     assert "val" in meta and np.isfinite(meta["val"]["Total Loss"])
     assert os.path.exists(os.path.join(out, "options.json"))
+
+    # resume for one more epoch from the (async-written) native checkpoint
+    os.remove(os.path.join(out, "HALT"))
+    train_cli.main([
+        "--data-root", fixture_root, "--out", out,
+        "--model-type", "softmax_splating",
+        "--batch-size", "2", "--W", "32", "--ngf", "8",
+        "--out-channel", "9",
+        "--refine-model-type", "resnet_TinyTest_de_resnet_pconv2_nonorm",
+        "--bg-refine-model-type", "resnet_TinyTestBG_nonorm",
+        "--ndf", "8", "--num-D", "1", "--n-layers-D", "2",
+        "--niter", "2", "--niter-decay", "0",
+        "--steps-per-epoch", "2", "--val-steps", "1",
+        "--resume",
+    ])
+    with open(os.path.join(out, "ckpt.meta.json")) as f:
+        meta = json.load(f)
+    assert meta["epoch"] == 1  # continued from epoch 0, not restarted
