@@ -24,8 +24,6 @@ bicubic resize to W², h-flip with flow x-negation (eulerian_data.py:63-97).
 from __future__ import annotations
 
 import os
-import threading
-import queue as queue_mod
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
@@ -190,8 +188,16 @@ class LiquidDataset:
     # ------------------------------------------------------------------
 
     def batches(self, batch_size: int, num_batches: Optional[int] = None,
-                prefetch: int = 2) -> Iterator[Dict]:
-        """Collated batch iterator with background prefetching threads."""
+                prefetch: int = 2, workers: int = 2) -> Iterator[Dict]:
+        """Collated batch iterator with parallel background prefetch.
+
+        ``__getitem__`` is a pure function of (epoch, index), so samples
+        decode concurrently on ``workers`` threads (cv2/PIL/np release the
+        GIL for the heavy parts — the reference's multi-worker
+        ``DataLoader`` equivalent) while batch ORDER stays deterministic:
+        futures are consumed in submission order with at most
+        ``prefetch + workers`` batches in flight."""
+        from concurrent.futures import ThreadPoolExecutor
 
         def make(i):
             samples = [self[i * batch_size + j] for j in range(batch_size)]
@@ -209,20 +215,20 @@ class LiquidDataset:
 
         total = num_batches if num_batches is not None else (
             len(self) // batch_size)
-        q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
+        from collections import deque
 
-        def worker():
-            for i in range(total):
-                q.put(make(i))
-            q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+            inflight: deque = deque()
+            nxt = 0
+            while nxt < total and len(inflight) < prefetch + workers:
+                inflight.append(ex.submit(make, nxt))
+                nxt += 1
+            while inflight:
+                batch = inflight.popleft().result()
+                if nxt < total:
+                    inflight.append(ex.submit(make, nxt))
+                    nxt += 1
+                yield batch
 
 
 def get_dataset(opt: Options, root: str, split: str = "train",
