@@ -8,6 +8,7 @@ publishes no training throughput; this records ours for the round notes.
 Run on the TPU: python tools/train_bench.py [batch_size] [W]
 """
 
+import os
 import sys
 import time
 
@@ -15,6 +16,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
