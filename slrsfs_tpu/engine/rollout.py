@@ -35,7 +35,7 @@ from slrsfs_tpu.models.baseline import (
     z_for_splat,
     z_normalize,
 )
-from slrsfs_tpu.ops import euler_integrate_all, softsplat_sum
+from slrsfs_tpu.ops import euler_integrate_all_dual, softsplat_sum
 
 Array = jax.Array
 
@@ -71,8 +71,8 @@ def baseline_rollout(model: BaselineModel, variables, img: Array, flow: Array,
     fs, z = model.apply(variables, img, method="encode")
     z = z_for_splat(opt, fs, z)
 
-    disp_f, _ = euler_integrate_all(flow, N - 1)  # (N,   H, W, 2): t steps
-    disp_p, _ = euler_integrate_all(-flow, N)     # (N+1, H, W, 2): s steps
+    # both directions in one scan (one 2HW-row gather per step)
+    disp_f, disp_p = euler_integrate_all_dual(flow, N - 1, N)
 
     per_frame_znorm = opt.use_softmax_splatter_v2
     if not per_frame_znorm:
@@ -656,7 +656,7 @@ def slr_rollout_dense(model, variables, img, flow, n_frames: int,
     results, far less per-frame dispatch/utilization waste than the
     per-frame decode this path used previously."""
     from slrsfs_tpu.models.baseline import z_for_splat, z_normalize
-    from slrsfs_tpu.ops import euler_integrate_all, softsplat_sum
+    from slrsfs_tpu.ops import euler_integrate_all_dual, softsplat_sum
 
     opt = model.opt
     N = n_frames
@@ -673,8 +673,7 @@ def slr_rollout_dense(model, variables, img, flow, n_frames: int,
         **_alpha_extras(opt, img, flow, bg_img_raw, mask_rock))
     a_bg_sig = jax.nn.sigmoid(a_bg_logits)
 
-    disp_f, _ = euler_integrate_all(flow, N - 1)
-    disp_p, _ = euler_integrate_all(-flow, N)
+    disp_f, disp_p = euler_integrate_all_dual(flow, N - 1, N)
 
     per_frame_znorm = opt.use_softmax_splatter_v2
     if not per_frame_znorm:

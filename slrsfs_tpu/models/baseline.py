@@ -136,16 +136,18 @@ class BaselineTrainable(BaselineModel):
     ``AnimatingSoftmaxSplating.forward``, animating_softmax_splating.py:445-775).
 
     Per-sample integration step counts are data-dependent; the TPU-native
-    formulation integrates ``train_max_steps`` once per direction with
-    ``lax.scan`` and indexes each sample's step count from the stack
-    (identical math — displacement after t steps does not depend on later
-    steps)."""
+    formulation runs ONE phase-switched ``lax.scan`` of ``train_max_steps``
+    single-gather steps per sample (forward to t_f, reset, backward to t_p —
+    their sum is bounded by end−start+1 ≤ N) and latches each sample's
+    displacement at step equality. Identical math to indexing the full
+    per-step stack, at half the gather rows and none of the stack
+    materialization."""
 
     train_max_steps: int = 60
 
     def forward_train(self, batch, train: bool = True,
                       deterministic: bool = False):
-        from slrsfs_tpu.ops import euler_integrate_all
+        from slrsfs_tpu.ops import euler_integrate_phased
 
         opt = self.opt
         start_img, middle_img, end_img = batch["images"]
@@ -160,10 +162,17 @@ class BaselineTrainable(BaselineModel):
         t_p = (idx[:, 2] + 1 - idx[:, 1]).astype(jnp.int32)
 
         T = self.train_max_steps
-        disp_f_all, _ = jax.vmap(lambda m: euler_integrate_all(m, T))(flow)
-        disp_p_all, _ = jax.vmap(lambda m: euler_integrate_all(m, T))(-flow)
-        flow_f = _select_per_sample(disp_f_all, jnp.clip(t_f, 0, T))
-        flow_p = _select_per_sample(disp_p_all, jnp.clip(t_p, 0, T))
+        # phase-switched scan latching each sample's (t_f, t_p) displacement
+        # — half the gather rows of two stacked scans and no (T+1, H, W, 2)
+        # stacks (~46 % of the train step was this integration)
+        # joint clip keeps the phased contract t_f + t_p <= T when a config
+        # sets train_max_steps below end-start+1 (only toy test configs do;
+        # the shipped T=60 bounds the dataset contract exactly)
+        tf_c = jnp.clip(t_f, 0, T)
+        tp_c = jnp.clip(t_p, 0, T - tf_c)
+        flow_f, flow_p = jax.vmap(
+            lambda m, tf, tp: euler_integrate_phased(m, tf, tp, T)
+        )(flow, tf_c, tp_c)
 
         alpha = (
             1.0

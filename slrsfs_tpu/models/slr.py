@@ -336,8 +336,8 @@ class SLRTrainable(SLRModel):
 
     def forward_train(self, batch, train: bool = True,
                       deterministic: bool = False):
-        from slrsfs_tpu.models.baseline import _select_per_sample, fold_uvm
-        from slrsfs_tpu.ops import euler_integrate_all
+        from slrsfs_tpu.models.baseline import fold_uvm
+        from slrsfs_tpu.ops import euler_integrate_phased
 
         opt = self.opt
         start_img, middle_img, end_img = batch["images"]
@@ -383,10 +383,16 @@ class SLRTrainable(SLRModel):
         t_f = (idx[:, 1] - idx[:, 0]).astype(jnp.int32)
         t_p = (idx[:, 2] + 1 - idx[:, 1]).astype(jnp.int32)
         T = self.train_max_steps
-        disp_f_all, _ = jax.vmap(lambda m: euler_integrate_all(m, T))(flow)
-        disp_p_all, _ = jax.vmap(lambda m: euler_integrate_all(m, T))(-flow)
-        flow_f = _select_per_sample(disp_f_all, jnp.clip(t_f, 0, T))
-        flow_p = _select_per_sample(disp_p_all, jnp.clip(t_p, 0, T))
+        # fused dual scan latching each sample's (t_f, t_p) displacement
+        # (see BaselineTrainable.forward_train)
+        # joint clip keeps the phased contract t_f + t_p <= T when a config
+        # sets train_max_steps below end-start+1 (only toy test configs do;
+        # the shipped T=60 bounds the dataset contract exactly)
+        tf_c = jnp.clip(t_f, 0, T)
+        tp_c = jnp.clip(t_p, 0, T - tf_c)
+        flow_f, flow_p = jax.vmap(
+            lambda m, tf, tp: euler_integrate_phased(m, tf, tp, T)
+        )(flow, tf_c, tp_c)
 
         alpha = jnp.clip(
             1.0

@@ -11,6 +11,9 @@ from slrsfs_tpu.ops.euler import (
     euler_integrate_all,
     euler_integrate_compact,
     euler_integrate_compact_dual,
+    euler_integrate_all_dual,
+    euler_integrate_select_dual,
+    euler_integrate_phased,
 )
 
 __all__ = [
@@ -24,4 +27,7 @@ __all__ = [
     "euler_integrate_all",
     "euler_integrate_compact",
     "euler_integrate_compact_dual",
+    "euler_integrate_all_dual",
+    "euler_integrate_select_dual",
+    "euler_integrate_phased",
 ]

@@ -194,3 +194,170 @@ def euler_integrate_compact_dual(motion: Array, positions: Array,
     disp_f = jnp.concatenate([disp0, disps[:n_fwd, :P]], axis=0)
     disp_b = jnp.concatenate([disp0, disps[:n_bwd, P:]], axis=0)
     return disp_f, disp_b
+
+
+def euler_integrate_all_dual(motion: Array, n_fwd: int, n_bwd: int
+                             ) -> Tuple[Array, Array]:
+    """Dense analog of ``euler_integrate_compact_dual``: both directions in
+    ONE scan over the full grid.
+
+    Element-for-element identical to
+    ``(euler_integrate_all(motion, n_fwd)[0],
+       euler_integrate_all(-motion, n_bwd)[0])`` — the dense rollouts
+    previously ran those as two separate N-step scans; fusing them halves
+    the per-step op count (the dominant cost is per-op overhead plus the
+    gather row count, and one 2HW-row gather beats two HW-row gathers).
+
+    Returns (disp_fwd (n_fwd+1, H, W, 2), disp_bwd (n_bwd+1, H, W, 2)).
+    """
+    H, W, _ = motion.shape
+    dtype = motion.dtype
+    grid = _grid(H, W, dtype).reshape(H * W, 2)
+    coord = jnp.concatenate([grid, grid])  # (2HW, 2)
+    sign = jnp.concatenate([jnp.ones((H * W, 1), dtype),
+                            -jnp.ones((H * W, 1), dtype)])
+    oob_disp = jnp.asarray(max(H, W) + 1, dtype)
+    motion_flat = motion.reshape(H * W, 2)
+    L = max(n_fwd, n_bwd)
+
+    def step(carry, _):
+        dest, invalid = carry
+        ix = jnp.clip(jnp.round(dest[:, 0]).astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip(jnp.round(dest[:, 1]).astype(jnp.int32), 0, H - 1)
+        m = jnp.take(motion_flat, iy * W + ix, axis=0) * sign
+        dest = dest + m
+        oob = (
+            (dest[:, 0] > W - 1)
+            | (dest[:, 0] < 0)
+            | (dest[:, 1] > H - 1)
+            | (dest[:, 1] < 0)
+        )
+        invalid = invalid | oob
+        dest = jnp.where(invalid[:, None], coord, dest)
+        disp = jnp.where(invalid[:, None], oob_disp, dest - coord)
+        return (dest, invalid), disp
+
+    init = (coord, jnp.zeros((2 * H * W,), bool))
+    _, disps = jax.lax.scan(step, init, None, length=L)  # (L, 2HW, 2)
+    disp0 = jnp.zeros((1, H, W, 2), dtype)
+    disp_f = jnp.concatenate(
+        [disp0, disps[:n_fwd, : H * W].reshape(n_fwd, H, W, 2)], axis=0)
+    disp_b = jnp.concatenate(
+        [disp0, disps[:n_bwd, H * W:].reshape(n_bwd, H, W, 2)], axis=0)
+    return disp_f, disp_b
+
+
+def euler_integrate_select_dual(motion: Array, t_fwd, t_bwd, n_steps: int
+                                ) -> Tuple[Array, Array]:
+    """Displacements after exactly ``t_fwd`` forward and ``t_bwd`` backward
+    steps, WITHOUT materializing the per-step stacks.
+
+    The training pass needs one displacement per direction per sample
+    (reference integrates O(t) per sample on demand,
+    euler_integration_manipulator.py:62-71); integrating both directions in
+    one scan and latching the output at step equality avoids both the
+    second scan and the (n_steps+1, H, W, 2) stack write + select gather
+    that ``vmap(euler_integrate_all)`` + select costs — ~46 % of the
+    training step was this integration.
+
+    motion: (H, W, 2); t_fwd/t_bwd: int32 scalars in [0, n_steps].
+    Returns (disp_fwd (H, W, 2), disp_bwd (H, W, 2)), equal to
+    ``euler_integrate_all(motion, n)[0][t_fwd]`` /
+    ``euler_integrate_all(-motion, n)[0][t_bwd]``.
+    """
+    H, W, _ = motion.shape
+    dtype = motion.dtype
+    grid = _grid(H, W, dtype).reshape(H * W, 2)
+    coord = jnp.concatenate([grid, grid])
+    sign = jnp.concatenate([jnp.ones((H * W, 1), dtype),
+                            -jnp.ones((H * W, 1), dtype)])
+    oob_disp = jnp.asarray(max(H, W) + 1, dtype)
+    motion_flat = motion.reshape(H * W, 2)
+    t_sel = jnp.concatenate([
+        jnp.broadcast_to(jnp.asarray(t_fwd, jnp.int32), (H * W,)),
+        jnp.broadcast_to(jnp.asarray(t_bwd, jnp.int32), (H * W,)),
+    ])
+
+    def step(carry, k):
+        dest, invalid, out = carry
+        ix = jnp.clip(jnp.round(dest[:, 0]).astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip(jnp.round(dest[:, 1]).astype(jnp.int32), 0, H - 1)
+        m = jnp.take(motion_flat, iy * W + ix, axis=0) * sign
+        dest = dest + m
+        oob = (
+            (dest[:, 0] > W - 1)
+            | (dest[:, 0] < 0)
+            | (dest[:, 1] > H - 1)
+            | (dest[:, 1] < 0)
+        )
+        invalid = invalid | oob
+        dest = jnp.where(invalid[:, None], coord, dest)
+        disp = jnp.where(invalid[:, None], oob_disp, dest - coord)
+        out = jnp.where((k == t_sel)[:, None], disp, out)
+        return (dest, invalid, out), None
+
+    init = (coord, jnp.zeros((2 * H * W,), bool),
+            jnp.zeros((2 * H * W, 2), dtype))  # t == 0 → zero displacement
+    (_, _, out), _ = jax.lax.scan(
+        step, init, jnp.arange(1, n_steps + 1))
+    return (out[: H * W].reshape(H, W, 2),
+            out[H * W:].reshape(H, W, 2))
+
+
+def euler_integrate_phased(motion: Array, t_fwd, t_bwd, n_steps: int
+                           ) -> Tuple[Array, Array]:
+    """Training-pass displacements in ONE phase-switched scan of
+    ``n_steps`` single-gather steps.
+
+    The training triplet satisfies ``t_fwd + t_bwd <= n_steps`` (t_fwd =
+    mid-start, t_bwd = end+1-mid, so their sum is end-start+1 <= N): the
+    scan first advects forward for t_fwd steps, latches the forward
+    displacement, resets to the source grid, then advects backward for
+    t_bwd steps — HALVING the gather rows of
+    :func:`euler_integrate_select_dual` (which tracks both directions
+    simultaneously). Results are identical.
+
+    motion: (H, W, 2); t_fwd/t_bwd int32 scalars with t_fwd + t_bwd <=
+    n_steps. Returns (disp_fwd (H, W, 2), disp_bwd (H, W, 2)).
+    """
+    H, W, _ = motion.shape
+    dtype = motion.dtype
+    coord = _grid(H, W, dtype).reshape(H * W, 2)
+    oob_disp = jnp.asarray(max(H, W) + 1, dtype)
+    motion_flat = motion.reshape(H * W, 2)
+    tf = jnp.asarray(t_fwd, jnp.int32)
+    tp = jnp.asarray(t_bwd, jnp.int32)
+
+    def step(carry, k):
+        dest, invalid, out_f, out_p = carry
+        # phase switch: entering step tf+1 restarts from the source grid,
+        # now integrating -M
+        reset = k == tf + 1
+        dest = jnp.where(reset, coord, dest)
+        invalid = jnp.where(reset, False, invalid)
+        sign = jnp.where(k <= tf, jnp.asarray(1.0, dtype),
+                         jnp.asarray(-1.0, dtype))
+        ix = jnp.clip(jnp.round(dest[:, 0]).astype(jnp.int32), 0, W - 1)
+        iy = jnp.clip(jnp.round(dest[:, 1]).astype(jnp.int32), 0, H - 1)
+        m = jnp.take(motion_flat, iy * W + ix, axis=0) * sign
+        dest = dest + m
+        oob = (
+            (dest[:, 0] > W - 1)
+            | (dest[:, 0] < 0)
+            | (dest[:, 1] > H - 1)
+            | (dest[:, 1] < 0)
+        )
+        invalid = invalid | oob
+        dest = jnp.where(invalid[:, None], coord, dest)
+        disp = jnp.where(invalid[:, None], oob_disp, dest - coord)
+        out_f = jnp.where(k == tf, disp, out_f)
+        # tp == 0 must stay the zero displacement (k == tf would otherwise
+        # latch the FORWARD result into out_p)
+        out_p = jnp.where((k == tf + tp) & (tp > 0), disp, out_p)
+        return (dest, invalid, out_f, out_p), None
+
+    zeros = jnp.zeros((H * W, 2), dtype)
+    init = (coord, jnp.zeros((H * W,), bool), zeros, zeros)
+    (_, _, out_f, out_p), _ = jax.lax.scan(
+        step, init, jnp.arange(1, n_steps + 1))
+    return out_f.reshape(H, W, 2), out_p.reshape(H, W, 2)
