@@ -202,8 +202,8 @@ def main():
 
     extra("slr_fps", "SLR", run_slr_thunk)
 
-    # SLR with use_softmax_splatter_v2: per-frame Z-norm forces the dense
-    # rollout (the advertised fallback for v2-trained checkpoints)
+    # SLR with use_softmax_splatter_v2: the per-frame max-warp Z-norm runs
+    # sparsely (maximum_warp_norm_sparse) — the speed v2 checkpoints get
     def run_slr_v2_thunk():
         if "run_v2" not in slr_state:
             _slr_vars()

@@ -202,6 +202,10 @@ class SceneRenderer:
         outs = run(variables, img, jnp.asarray(flow),
                    jnp.asarray(positions), jnp.asarray(valid), region)
         outs = {k: np.asarray(v) for k, v in outs.items()}
+        # backpressure: saving is the dominant host cost, so cap the queue —
+        # each pending entry holds a full scene's output stack in host memory
+        while len(self._pending) >= 2:
+            self._pending.pop(0).result()
         self._pending.append(self._save_pool.submit(
             _save_outputs, outs, out_dir, name, out_w, out_h))
         return out_dir

@@ -55,9 +55,14 @@ def _to_device_batch(batch):
     return out
 
 
-def build(opt, slr: bool):
+def build(opt, slr: bool, embed_motion: bool = False,
+          train_max_steps: int = 60):
     from slrsfs_tpu.engine.trainer import Trainer
-    from slrsfs_tpu.models.baseline import BaselineTrainable
+    from slrsfs_tpu.models.baseline import (
+        BaselineMotionTrainable,
+        BaselineTrainable,
+        baseline_motion_extra_losses,
+    )
     from slrsfs_tpu.models.motion import MotionRegressor
     from slrsfs_tpu.models.slr import (
         BackgroundModel,
@@ -72,10 +77,16 @@ def build(opt, slr: bool):
         model = MotionRegressor(opt)  # motion GAN (train_motion_unet.py)
         return model, Trainer(opt, model, task="motion")
     if slr:  # stage 3 (train_animating_alpha_2layers_joint_*.py)
-        model = SLRTrainable(opt)
+        model = SLRTrainable(opt, train_max_steps=train_max_steps)
         return model, Trainer(opt, model, extra_losses_fn=slr_extra_losses)
-    model = BaselineTrainable(opt)  # stage 1 (train_animating.py)
-    return model, Trainer(opt, model)
+    if embed_motion:
+        # fix-motion finetune / joint-IGAN-only stages
+        # (train_animating_fixmotion.py / train_animating_motion_IGANonly.py)
+        model = BaselineMotionTrainable(opt, train_max_steps=train_max_steps)
+        return model, Trainer(opt, model,
+                              extra_losses_fn=baseline_motion_extra_losses)
+    model = BaselineTrainable(opt, train_max_steps=train_max_steps)
+    return model, Trainer(opt, model)  # stage 1 (train_animating.py)
 
 
 def main(argv=None):
@@ -111,6 +122,18 @@ def main(argv=None):
                    help="free-form occlusion augmentation "
                         "(reference --random_ff_mask)")
     p.add_argument("--random-ff-mask-rate", type=float, default=0.5)
+    p.add_argument("--embed-motion", action="store_true",
+                   help="embed the motion regressor in the fluid model: the "
+                        "splat flow comes from it instead of GT (reference "
+                        "fix-motion / IGAN-only stages)")
+    p.add_argument("--freeze-motion", action="store_true",
+                   help="freeze the embedded regressor's params (reference "
+                        "train_animating_fixmotion.py:448-450)")
+    p.add_argument("--train-max-steps", type=int, default=60,
+                   help="static bound on per-sample Euler integration steps; "
+                        "must be >= the sampled end-start+1 span (= clip "
+                        "length for the reference datasets). Raise it for "
+                        "datasets with longer clips.")
     # architecture overrides (reference --refine_model_type etc.)
     p.add_argument("--refine-model-type", default=None)
     p.add_argument("--alpha-refine-model-type", default=None)
@@ -132,6 +155,10 @@ def main(argv=None):
         "SPADE_unet_mask_motion": "eulerian_data_motion_hint",
         "unet_motion": "eulerian_data_motion_hint",
     }.get(a.model_type, "eulerian_data")
+    if a.embed_motion and a.dataset is None:
+        # fix-motion finetune trains with precomputed sparse hints
+        # (train_animating_scripts/train_animating_fixedMotion_*.sh:16)
+        default_ds = "eulerian_data_hint"
     opt = Options(
         model_type=a.model_type,
         dataset=a.dataset or default_ds,
@@ -148,7 +175,18 @@ def main(argv=None):
         RockRegionlossDecay=20.0 if slr else 0.0,
         random_ff_mask=a.random_ff_mask,
         random_ff_mask_rate=a.random_ff_mask_rate,
+        train_motion=a.embed_motion,
+        freeze_motion=a.freeze_motion,
     )
+    if (a.init_bg_from or a.init_motion_from) and not a.init_from:
+        p.error("--init-bg-from/--init-motion-from overlay --init-from and "
+                "require it")
+    if a.init_motion_from and not a.embed_motion:
+        p.error("--init-motion-from needs --embed-motion (only the "
+                "embedded-motion fluid model has a motion_regressor; "
+                "the SLR stage-3 model does not)")
+    if a.freeze_motion and not a.embed_motion:
+        p.error("--freeze-motion needs --embed-motion")
     arch_overrides = {
         "refine_model_type": a.refine_model_type,
         "alpha_refine_model_type": a.alpha_refine_model_type,
@@ -172,7 +210,8 @@ def main(argv=None):
 
     writer = SummaryWriter(os.path.join(a.out, "runs"))
 
-    model, trainer = build(opt, slr)
+    model, trainer = build(opt, slr, embed_motion=a.embed_motion,
+                           train_max_steps=a.train_max_steps)
     if a.vgg_pth:
         import torch
 
@@ -202,24 +241,34 @@ def main(argv=None):
 
         ckpt = load_torch_checkpoint(a.init_from)
         sd = ckpt.get("state_dict", ckpt)
+        fallback = {"params": state.g_params, "batch_stats": state.g_stats,
+                    "spectral": state.g_spectral}
+
+        def _sd(path):
+            c = load_torch_checkpoint(path)
+            return c.get("state_dict", c)
+
         if slr:
             from slrsfs_tpu.io.checkpoint import (
                 import_slr_model,
                 merge_stage3_state_dict,
             )
 
-            def _sd(path):
-                c = load_torch_checkpoint(path)
-                return c.get("state_dict", c)
-
             sd = merge_stage3_state_dict(
-                sd,
-                sd_bg=_sd(a.init_bg_from) if a.init_bg_from else None,
-                sd_motion=_sd(a.init_motion_from)
+                sd, sd_bg=_sd(a.init_bg_from) if a.init_bg_from else None)
+            variables = import_slr_model(sd, opt, fallback=fallback)
+        elif a.embed_motion:
+            from slrsfs_tpu.io.checkpoint import (
+                import_embedded_baseline,
+                merge_stage3_state_dict,
+            )
+
+            # fix-motion warm start: baseline ckpt + separate motion ckpt
+            # (reference train_animating_fixmotion.py:438-446)
+            sd = merge_stage3_state_dict(
+                sd, sd_motion=_sd(a.init_motion_from)
                 if a.init_motion_from else None)
-            variables = import_slr_model(sd, opt, fallback={
-                "params": state.g_params, "batch_stats": state.g_stats,
-                "spectral": state.g_spectral})
+            variables = import_embedded_baseline(sd, opt, fallback=fallback)
         else:
             from slrsfs_tpu.io.checkpoint import import_baseline_model
 

@@ -172,6 +172,39 @@ def import_slr_model(sd: Mapping, opt: Options,
     return cols
 
 
+def import_embedded_baseline(sd: Mapping, opt: Options,
+                             fallback: Dict[str, Dict] = None
+                             ) -> Dict[str, Dict]:
+    """state_dict → BaselineMotionTrainable variables (baseline encoder/
+    projector + embedded ``motion_regressor``).
+
+    Mirrors the reference fix-motion warm-start
+    (train_animating_fixmotion.py:438-450): the fluid nets come from the
+    baseline checkpoint; the motion subtree comes from merged
+    ``motion_regressor.*`` keys when present, else keeps ``fallback``'s
+    fresh init."""
+    from slrsfs_tpu.models.motion import resolved_motion_model_type
+
+    cols = import_baseline_model(sd, opt)
+    clean = _clean_state_dict(sd)
+    if any(k.startswith("motion_regressor.") for k in clean):
+        m_opt = opt.replace(model_type=resolved_motion_model_type(opt))
+        mcols = import_motion_model(sd, m_opt)
+        for col in ("params", "batch_stats", "spectral"):
+            if mcols.get(col):
+                cols.setdefault(col, {})["motion_regressor"] = mcols[col]
+    elif fallback is not None:
+        for col in ("params", "batch_stats", "spectral"):
+            sub = fallback.get(col, {})
+            if "motion_regressor" in sub:
+                cols.setdefault(col, {})["motion_regressor"] = \
+                    sub["motion_regressor"]
+    else:
+        raise KeyError("state_dict lacks motion_regressor keys and no "
+                       "fallback init was provided")
+    return cols
+
+
 def import_bg_model(sd: Mapping, opt: Options) -> Dict[str, Dict]:
     r = KeyReader(_clean_state_dict(sd))
     tree = {"net_bg": import_decoder_plain(r, "net_bg", opt,

@@ -126,11 +126,6 @@ def fold_uvm(motion: Array) -> Array:
     return motion
 
 
-def _select_per_sample(stack: Array, t: Array) -> Array:
-    """stack (B, T+1, ...), t (B,) -> (B, ...)."""
-    return stack[jnp.arange(stack.shape[0]), t]
-
-
 class BaselineTrainable(BaselineModel):
     """Adds the (start, middle, end) training pass (reference
     ``AnimatingSoftmaxSplating.forward``, animating_softmax_splating.py:445-775).

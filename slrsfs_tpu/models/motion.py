@@ -201,13 +201,23 @@ def moving_region_mask(motion: Array) -> Array:
     return 1.0 - small.astype(jnp.float32)
 
 
+def resolved_motion_model_type(opt: Options) -> str:
+    """The regressor architecture string: ``model_type`` when the model IS a
+    motion model, else ``motion_model_type`` — the reference builds the
+    embedded regressor from a copy of opts with ``model_type`` swapped to
+    ``motion_model_type`` (animating_softmax_splating.py:190-193)."""
+    if opt.model_type in ("SPADE_unet_mask_motion", "unet_motion"):
+        return opt.model_type
+    return opt.motion_model_type
+
+
 class MotionRegressor(nn.Module):
     """reference models/unet_motion.py (UnetMotion / SPADEUnetMaskMotion)."""
 
     opt: Options
 
     def setup(self):
-        if "SPADE" in self.opt.model_type:
+        if "SPADE" in resolved_motion_model_type(self.opt):
             self.motion_predictor = SPADEUnet4MaskMotion(self.opt)
         else:
             self.motion_predictor = Unet4Motion(self.opt)

@@ -12,7 +12,6 @@ from slrsfs_tpu.ops.euler import (
     euler_integrate_compact,
     euler_integrate_compact_dual,
     euler_integrate_all_dual,
-    euler_integrate_select_dual,
     euler_integrate_phased,
 )
 
@@ -28,6 +27,5 @@ __all__ = [
     "euler_integrate_compact",
     "euler_integrate_compact_dual",
     "euler_integrate_all_dual",
-    "euler_integrate_select_dual",
     "euler_integrate_phased",
 ]

@@ -246,64 +246,6 @@ def euler_integrate_all_dual(motion: Array, n_fwd: int, n_bwd: int
         [disp0, disps[:n_bwd, H * W:].reshape(n_bwd, H, W, 2)], axis=0)
     return disp_f, disp_b
 
-
-def euler_integrate_select_dual(motion: Array, t_fwd, t_bwd, n_steps: int
-                                ) -> Tuple[Array, Array]:
-    """Displacements after exactly ``t_fwd`` forward and ``t_bwd`` backward
-    steps, WITHOUT materializing the per-step stacks.
-
-    The training pass needs one displacement per direction per sample
-    (reference integrates O(t) per sample on demand,
-    euler_integration_manipulator.py:62-71); integrating both directions in
-    one scan and latching the output at step equality avoids both the
-    second scan and the (n_steps+1, H, W, 2) stack write + select gather
-    that ``vmap(euler_integrate_all)`` + select costs — ~46 % of the
-    training step was this integration.
-
-    motion: (H, W, 2); t_fwd/t_bwd: int32 scalars in [0, n_steps].
-    Returns (disp_fwd (H, W, 2), disp_bwd (H, W, 2)), equal to
-    ``euler_integrate_all(motion, n)[0][t_fwd]`` /
-    ``euler_integrate_all(-motion, n)[0][t_bwd]``.
-    """
-    H, W, _ = motion.shape
-    dtype = motion.dtype
-    grid = _grid(H, W, dtype).reshape(H * W, 2)
-    coord = jnp.concatenate([grid, grid])
-    sign = jnp.concatenate([jnp.ones((H * W, 1), dtype),
-                            -jnp.ones((H * W, 1), dtype)])
-    oob_disp = jnp.asarray(max(H, W) + 1, dtype)
-    motion_flat = motion.reshape(H * W, 2)
-    t_sel = jnp.concatenate([
-        jnp.broadcast_to(jnp.asarray(t_fwd, jnp.int32), (H * W,)),
-        jnp.broadcast_to(jnp.asarray(t_bwd, jnp.int32), (H * W,)),
-    ])
-
-    def step(carry, k):
-        dest, invalid, out = carry
-        ix = jnp.clip(jnp.round(dest[:, 0]).astype(jnp.int32), 0, W - 1)
-        iy = jnp.clip(jnp.round(dest[:, 1]).astype(jnp.int32), 0, H - 1)
-        m = jnp.take(motion_flat, iy * W + ix, axis=0) * sign
-        dest = dest + m
-        oob = (
-            (dest[:, 0] > W - 1)
-            | (dest[:, 0] < 0)
-            | (dest[:, 1] > H - 1)
-            | (dest[:, 1] < 0)
-        )
-        invalid = invalid | oob
-        dest = jnp.where(invalid[:, None], coord, dest)
-        disp = jnp.where(invalid[:, None], oob_disp, dest - coord)
-        out = jnp.where((k == t_sel)[:, None], disp, out)
-        return (dest, invalid, out), None
-
-    init = (coord, jnp.zeros((2 * H * W,), bool),
-            jnp.zeros((2 * H * W, 2), dtype))  # t == 0 → zero displacement
-    (_, _, out), _ = jax.lax.scan(
-        step, init, jnp.arange(1, n_steps + 1))
-    return (out[: H * W].reshape(H, W, 2),
-            out[H * W:].reshape(H, W, 2))
-
-
 def euler_integrate_phased(motion: Array, t_fwd, t_bwd, n_steps: int
                            ) -> Tuple[Array, Array]:
     """Training-pass displacements in ONE phase-switched scan of

@@ -406,3 +406,91 @@ def test_merge_stage3_overlays():
     assert "loss_function.v" not in out
     assert out["motion_regressor.motion_predictor.conv1.w"] == 4
     assert "netD.netD.d0.w" not in out
+
+
+def test_embedded_baseline_merged_init():
+    """Fix-motion warm start (reference train_animating_fixmotion.py:438-450):
+    baseline fluid ckpt + separate motion ckpt merged with the
+    motion_predictor remap → BaselineMotionTrainable variables; without
+    motion keys the fallback's fresh regressor init is kept."""
+    import torch.nn as tnn
+
+    from conftest import tiny_options
+    from slrsfs_tpu.io.checkpoint import (
+        import_embedded_baseline,
+        merge_stage3_state_dict,
+    )
+
+    opt = tiny_options(W=16)
+    arch = get_resnet_arch(opt.refine_model_type, opt, 3)
+    dec_arch = dict(arch, layers_dec=[arch["layers_enc"][-1]]
+                    + list(arch["layers_dec"])[1:])
+    enc = make_torch_encoder_with_z(arch, ref_opt())
+    dec = make_torch_decoder_pconv2(dec_arch, ref_opt())
+    base_sd = {f"model.module.encoder.{k}": v
+               for k, v in enc.state_dict().items()}
+    base_sd.update({f"model.module.projector.{k}": v
+                    for k, v in dec.state_dict().items()})
+
+    # reference-structured SPADE motion UNet at the tiny width
+    nf, cin = opt.ngf, 6
+
+    class SpadeT(tnn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.mlp_shared = tnn.Sequential(
+                tnn.Conv2d(6, 128, 3, 1, 1), tnn.ReLU())
+            self.mlp_gamma = tnn.Conv2d(128, c, 3, 1, 1)
+            self.mlp_beta = tnn.Conv2d(128, c, 3, 1, 1)
+
+    class MotionT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            sp = tnn.utils.spectral_norm
+            ci = [cin, nf, nf * 2, nf * 4] + [nf * 8] * 4
+            co = [nf, nf * 2, nf * 4] + [nf * 8] * 5
+            for i in range(8):
+                setattr(self, f"conv{i+1}",
+                        sp(tnn.Conv2d(ci[i], co[i], 4, 2, 1)))
+            di = [nf * 8, nf * 16, nf * 16, nf * 16, nf * 16, nf * 8,
+                  nf * 4, nf * 2]
+            do = [nf * 8, nf * 8, nf * 8, nf * 8, nf * 4, nf * 2, nf, 2]
+            for i in range(8):
+                setattr(self, f"dconv{i+1}",
+                        sp(tnn.Conv2d(di[i], do[i], 3, 1, 1)))
+            self.spade_layer = SpadeT(nf)
+            self.spade_layer2_0 = SpadeT(nf * 2)
+            self.spade_layer2_1 = SpadeT(nf * 2)
+            self.spade_layer4_0 = SpadeT(nf * 4)
+            self.spade_layer4_1 = SpadeT(nf * 4)
+            for i in range(8):
+                setattr(self, f"spade_layer8_{i}", SpadeT(nf * 8))
+
+    tm = MotionT()
+    motion_sd = {f"motion_predictor.{k}": v for k, v in tm.state_dict().items()}
+
+    merged = merge_stage3_state_dict(base_sd, sd_motion=motion_sd)
+    cols = import_embedded_baseline(merged, opt)
+    assert "motion_regressor" in cols["params"]
+    got = cols["params"]["motion_regressor"]["motion_predictor"]["conv1"]["kernel"]
+    want = tm.conv1.weight_orig.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+    # fluid nets imported alongside
+    assert "encoder" in cols["params"] and "projector" in cols["params"]
+
+    # no motion keys: fallback regressor init is kept; no fallback → loud
+    sentinel = {"params": {"motion_regressor": {"x": np.ones(1)}},
+                "batch_stats": {}, "spectral": {}}
+    cols2 = import_embedded_baseline(base_sd, opt, fallback=sentinel)
+    assert cols2["params"]["motion_regressor"] is \
+        sentinel["params"]["motion_regressor"]
+    with pytest.raises(KeyError):
+        import_embedded_baseline(base_sd, opt)
+
+    # CLI build() wires the embedded model type
+    from slrsfs_tpu.cli.train import build
+    from slrsfs_tpu.models.baseline import BaselineMotionTrainable
+
+    model, trainer = build(opt, slr=False, embed_motion=True,
+                           train_max_steps=2)
+    assert isinstance(model, BaselineMotionTrainable)

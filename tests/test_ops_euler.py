@@ -103,28 +103,6 @@ def test_euler_all_dual_matches_two_scans():
     np.testing.assert_array_equal(np.asarray(got_f), np.asarray(want_f))
     np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
 
-
-def test_euler_select_dual_matches_stack_select():
-    """euler_integrate_select_dual latches exactly stack[t] per direction,
-    including t=0 (zero displacement) and t=T."""
-    from slrsfs_tpu.ops import euler_integrate_all, euler_integrate_select_dual
-
-    rng = np.random.default_rng(6)
-    H, W, T = 16, 18, 9
-    motion = (rng.standard_normal((H, W, 2)) * 1.5).astype(np.float32)
-    motion[:5] = 0.0
-
-    stack_f, _ = euler_integrate_all(jnp.asarray(motion), T)
-    stack_p, _ = euler_integrate_all(jnp.asarray(-motion), T)
-    for tf, tp in ((0, 3), (5, 0), (T, T), (2, 7)):
-        got_f, got_p = euler_integrate_select_dual(
-            jnp.asarray(motion), tf, tp, T)
-        np.testing.assert_array_equal(np.asarray(got_f),
-                                      np.asarray(stack_f[tf]), err_msg=f"f{tf}")
-        np.testing.assert_array_equal(np.asarray(got_p),
-                                      np.asarray(stack_p[tp]), err_msg=f"p{tp}")
-
-
 def test_euler_phased_matches_stack_select():
     """euler_integrate_phased == stack[t] per direction for every (t_f, t_p)
     with t_f + t_p <= T, including the t=0 edges."""
