@@ -66,7 +66,7 @@ class SceneRenderer:
     def __init__(self, ckpt: str = None, W: int = 256, n_frames: int = 60,
                  dtype: str = "float32", decode_batch: int = 60,
                  seed: int = 0, motion_ckpt: str = None,
-                 opt_overrides: dict = None):
+                 opt_overrides: dict = None, shard_frames: bool = False):
         from concurrent.futures import ThreadPoolExecutor
 
         from slrsfs_tpu.config import Options
@@ -106,6 +106,18 @@ class SceneRenderer:
             self._predict_motion = jax.jit(
                 lambda v, i, m, h: self.regressor.apply(v, i, m, h))
 
+        self.mesh = None
+        if shard_frames:
+            # frame-axis sharding over all visible chips (ICI "sequence
+            # parallelism"; engine/rollout.py *_frame_sharded). dtype modes
+            # are single-chip-path features; sharded inference runs f32.
+            from slrsfs_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
+            assert n_frames % self.mesh.devices.size == 0, (
+                f"n_frames={n_frames} must divide over "
+                f"{self.mesh.devices.size} devices")
+
         self._jit_cache = {}
         self._save_pool = ThreadPoolExecutor(max_workers=1)
         self._pending = []
@@ -127,11 +139,26 @@ class SceneRenderer:
         key = (P, has_region)
         if key not in self._jit_cache:
             from slrsfs_tpu.engine.rollout import (
+                baseline_rollout_frame_sharded,
                 baseline_rollout_sparse,
+                slr_rollout_frame_sharded,
                 slr_rollout_sparse,
             )
 
-            if self.slr:
+            if self.mesh is not None:
+                mesh = self.mesh
+                if self.slr:
+                    fn = jax.jit(lambda v, i, f, p, va, rg:
+                                 slr_rollout_frame_sharded(
+                                     self.model, v, i, f, self.n_frames, p,
+                                     va, mesh,
+                                     alpha_region=rg if has_region else None))
+                else:
+                    fn = jax.jit(lambda v, i, f, p, va, rg: {
+                        "PredImg": baseline_rollout_frame_sharded(
+                            self.model, v, i, f, self.n_frames, p, va,
+                            mesh)})
+            elif self.slr:
                 fn = jax.jit(lambda v, i, f, p, va, rg: slr_rollout_sparse(
                     self.model, v, i, f, self.n_frames, p, va,
                     decode_batch=self.decode_batch,
@@ -167,6 +194,12 @@ class SceneRenderer:
         img = np.asarray(img_pil.resize((W, W), Image.BILINEAR), np.float32)
         img = jnp.asarray(((img / 255.0 - 0.5) / 0.5)[None])
         variables = self._ensure_variables(img)
+        if self.mesh is not None and not getattr(self, "_replicated", False):
+            from slrsfs_tpu.parallel.mesh import replicate
+
+            self.variables = replicate(self.variables, self.mesh)
+            self._replicated = True
+            variables = self.variables
 
         # --- flow ----------------------------------------------------------
         flow = _load_flow(flow_path)
@@ -224,7 +257,8 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
                  rotate: float = 0.0, flow_scale: float = 1.0,
                  dtype: str = "float32", decode_batch: int = 60,
                  alpha_region_path: str = None, seed: int = 0,
-                 motion_ckpt: str = None, opt_overrides: dict = None):
+                 motion_ckpt: str = None, opt_overrides: dict = None,
+                 shard_frames: bool = False):
     """One-shot render (reference single-scene driver equivalent).
 
     Scene loops should build one :class:`SceneRenderer` and call
@@ -232,7 +266,8 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
     compiled rollout across scenes."""
     r = SceneRenderer(ckpt=ckpt, W=W, n_frames=n_frames, dtype=dtype,
                       decode_batch=decode_batch, seed=seed,
-                      motion_ckpt=motion_ckpt, opt_overrides=opt_overrides)
+                      motion_ckpt=motion_ckpt, opt_overrides=opt_overrides,
+                      shard_frames=shard_frames)
     out_dir = r.render(image_path, flow_path, save_dir, name=name,
                        speed=speed, align_json=align_json, rawsize=rawsize,
                        rotate=rotate, flow_scale=flow_scale,
@@ -301,13 +336,17 @@ def main(argv=None):
     p.add_argument("--motion-ckpt", default=None,
                    help="predict dense motion from sparse hints with this "
                         "motion-regressor checkpoint (threshold driver mode)")
+    p.add_argument("--shard-frames", action="store_true",
+                   help="shard the frame axis over all visible chips "
+                        "(multi-chip inference; n-frames must divide the "
+                        "device count)")
     a = p.parse_args(argv)
     out = render_scene(
         a.image, a.flow, a.save_dir, ckpt=a.ckpt, name=a.name, W=a.W,
         n_frames=a.n_frames, speed=a.speed, align_json=a.align,
         rawsize=a.rawsize, rotate=a.rotate, flow_scale=a.flow_scale,
         dtype=a.dtype, alpha_region_path=a.alpha_region,
-        motion_ckpt=a.motion_ckpt)
+        motion_ckpt=a.motion_ckpt, shard_frames=a.shard_frames)
     print(f"rendered to {out}")
 
 

@@ -33,6 +33,8 @@ def main(argv=None):
     p.add_argument("--end", type=int, default=-1)
     p.add_argument("--flow-suffix", default="_motion.flo",
                    help="motion file suffix paired with _input.jpg")
+    p.add_argument("--shard-frames", action="store_true",
+                   help="shard the frame axis over all visible chips")
     a = p.parse_args(argv)
 
     from slrsfs_tpu.cli.render import SceneRenderer
@@ -45,7 +47,7 @@ def main(argv=None):
     # rollout shape bucket compiles once; PNG/mp4 saving overlaps the next
     # scene's device work on a background thread
     renderer = SceneRenderer(ckpt=a.ckpt, W=a.W, n_frames=a.n_frames,
-                             dtype=a.dtype)
+                             dtype=a.dtype, shard_frames=a.shard_frames)
     done, skipped = 0, []
     for img_path in inputs:
         name = os.path.basename(img_path)[: -len("_input.jpg")]

@@ -73,3 +73,34 @@ def test_scene_renderer_reuses_jit_across_scenes(tmp_path):
     a0 = np.asarray(Image.open(os.path.join(outs[0], "PredImg", "000002.png")))
     a1 = np.asarray(Image.open(os.path.join(outs[1], "PredImg", "000002.png")))
     assert a0.shape == a1.shape and not np.array_equal(a0, a1)
+
+
+def test_render_shard_frames_matches_single(tmp_path):
+    """--shard-frames renders over the 8-device CPU mesh and must match the
+    single-device render (PNG-level, allowing 1 quantization step)."""
+    from slrsfs_tpu.cli.render import SceneRenderer
+    from slrsfs_tpu.data.tensors import save_motion
+
+    ckpt_path, _, _ = _fake_reference_checkpoint(str(tmp_path))
+    rng = np.random.default_rng(4)
+    img = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+    ip = str(tmp_path / "sc_input.jpg")
+    Image.fromarray(img).save(ip)
+    motion = np.zeros((64, 96, 2), np.float32)
+    motion[32:, :, 0] = 1.0
+    fp = str(tmp_path / "sc_motion.npz")
+    save_motion(fp, motion)
+
+    r1 = SceneRenderer(ckpt=ckpt_path, W=32, n_frames=8, decode_batch=4)
+    o1 = r1.render(ip, fp, str(tmp_path / "single"), name="sc")
+    r1.finish()
+    r8 = SceneRenderer(ckpt=ckpt_path, W=32, n_frames=8, shard_frames=True)
+    o8 = r8.render(ip, fp, str(tmp_path / "sharded"), name="sc")
+    r8.finish()
+
+    for t in range(8):
+        a = np.asarray(Image.open(os.path.join(o1, "PredImg", f"{t:06d}.png")),
+                       np.int16)
+        b = np.asarray(Image.open(os.path.join(o8, "PredImg", f"{t:06d}.png")),
+                       np.int16)
+        assert np.abs(a - b).max() <= 1, t
