@@ -356,7 +356,8 @@ def main(argv=None):
                 if hasattr(v, "ndim") and v.ndim == 4 and v.shape[-1] in (1, 3)}
         for k, v in imgs.items():
             grid = np.asarray(v[0])
-            if "Img" in k:
+            if opt.normalize_image and "Img" in k:
+                # [-1,1] → [0,1] for logging (reference base_model.py:110-113)
                 grid = grid * 0.5 + 0.5
             writer.add_image(f"val/{k}", np.clip(grid, 0, 1), epoch,
                              dataformats="HWC")

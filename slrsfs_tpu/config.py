@@ -24,6 +24,8 @@ class Options:
     refine_model_type: str = "resnet_256W8UpDown64_de_resnet_pconv2_nonorm"
     bg_refine_model_type: str = "resnet_256W8UpDown64BG_nonorm"
     alpha_refine_model_type: str = "resnet_256W8UpDown64Layers_de_resnet_pconv2_nonorm"
+    # arch-table key kept for checkpoint-opts parity; the motion UNets are
+    # structural mirrors (models/motion.py) and do not read the table
     motion_refine_model_type: str = "resnet_256W4UpDown64Motion_nonorm"
     motion_model_type: str = "SPADE_unet_mask_motion"
 
@@ -49,7 +51,6 @@ class Options:
     # inference always sets this (reference test_baseline_4eval.py:127)
     bn_noise_misc: bool = False
 
-    use_rgb_features: bool = False
     addtional_decoder_input: int = 0  # [sic] reference spelling kept in spirit
     addtional_decoder_output: int = 0
 
@@ -103,28 +104,33 @@ class Options:
 
     # ---- optimization ---------------------------------------------------------
     batch_size: int = 16
-    lr: float = 1e-4
     lr_g: float = 1e-3 / 2
     lr_d: float = 1e-3 * 2
     beta1: float = 0.0
     beta2: float = 0.9
     niter: int = 100
     niter_decay: int = 10
-    num_accumulations: int = 1
     seed: int = 0
 
     # ---- data -----------------------------------------------------------------
     dataset: str = "eulerian_data"
+    use_mean_video: bool = False
+    normalize_image: bool = True  # rescale logged *Img to [0,1] (base_model.py:110)
+
+    # ---- checkpoint-opts compatibility only (NOT consumed) --------------------
+    # These mirror reference argparse names so opts namespaces stored inside
+    # .pth checkpoints import without loss; nothing in this framework reads
+    # them (GAPS.md lists num_accumulations' gradient-accumulation loop as an
+    # unbuilt default-off reference feature; flow_* sizing is handled by
+    # data/transforms.py; use_rgb_features and the motion arch-table key are
+    # unused by every shipped reference config).
+    lr: float = 1e-4
+    num_accumulations: int = 1
     flow_raw_W: int = 1920
     flow_raw_H: int = 1024
     flow_input_W: int = 480
     flow_input_H: int = 256
-    use_mean_video: bool = False
-    normalize_image: bool = True
-
-    # ---- parallelism (TPU-native; no reference equivalent) --------------------
-    mesh_data_axis: int = 1  # data-parallel size; pjit over a 1-D ICI mesh
-    mesh_frame_axis: int = 1  # frame-sharded inference axis
+    use_rgb_features: bool = False
 
     def replace(self, **kw) -> "Options":
         return dataclasses.replace(self, **kw)
