@@ -129,6 +129,9 @@ def main(argv=None):
     p.add_argument("--freeze-motion", action="store_true",
                    help="freeze the embedded regressor's params (reference "
                         "train_animating_fixmotion.py:448-450)")
+    p.add_argument("--num-accumulations", type=int, default=1,
+                   help="micro-batches per optimizer step; gradients are "
+                        "averaged (reference base_model.py:95-163)")
     p.add_argument("--train-max-steps", type=int, default=60,
                    help="static bound on per-sample Euler integration steps; "
                         "must be >= the sampled end-start+1 span (= clip "
@@ -177,6 +180,7 @@ def main(argv=None):
         random_ff_mask_rate=a.random_ff_mask_rate,
         train_motion=a.embed_motion,
         freeze_motion=a.freeze_motion,
+        num_accumulations=max(1, a.num_accumulations),
     )
     if (a.init_bg_from or a.init_motion_from) and not a.init_from:
         p.error("--init-bg-from/--init-motion-from overlay --init-from and "
@@ -309,8 +313,20 @@ def main(argv=None):
 
     # donate the state: params/opt-state buffers are dead after each step,
     # so XLA reuses them in place — halves peak HBM for the training state
-    train_step = jax.jit(trainer.make_train_step(), donate_argnums=(0,))
+    accum = max(1, a.num_accumulations)
+    train_step = jax.jit(trainer.make_train_step(accum=accum),
+                         donate_argnums=(0,))
     eval_step = jax.jit(trainer.make_eval_step())
+
+    def _micro_batches(it):
+        """Group the stream into accum-sized micro-batch lists (reference
+        num_accumulations loop, base_model.py:95-163)."""
+        group = []
+        for b in it:
+            group.append(_to_device_batch(b))
+            if len(group) == accum:
+                yield group if accum > 1 else group[0]
+                group = []
 
     rng = jax.random.PRNGKey(a.seed + 1)
     total_epochs = a.niter + a.niter_decay
@@ -318,10 +334,11 @@ def main(argv=None):
         dataset.totrain(epoch)
         t0 = time.time()
         running = {}
-        for it, batch in enumerate(
-                dataset.batches(a.batch_size, num_batches=a.steps_per_epoch)):
+        for it, batch in enumerate(_micro_batches(
+                dataset.batches(a.batch_size,
+                                num_batches=a.steps_per_epoch * accum))):
             rng, step_rng = jax.random.split(rng)
-            state, logs = train_step(state, _to_device_batch(batch), step_rng)
+            state, logs = train_step(state, batch, step_rng)
             for k, v in logs.items():
                 running.setdefault(k, []).append(float(v))
             gstep = epoch * a.steps_per_epoch + it

@@ -110,6 +110,7 @@ class Options:
     beta2: float = 0.9
     niter: int = 100
     niter_decay: int = 10
+    num_accumulations: int = 1  # micro-batches/step (base_model.py:95-163)
     seed: int = 0
 
     # ---- data -----------------------------------------------------------------
@@ -120,12 +121,10 @@ class Options:
     # ---- checkpoint-opts compatibility only (NOT consumed) --------------------
     # These mirror reference argparse names so opts namespaces stored inside
     # .pth checkpoints import without loss; nothing in this framework reads
-    # them (GAPS.md lists num_accumulations' gradient-accumulation loop as an
-    # unbuilt default-off reference feature; flow_* sizing is handled by
-    # data/transforms.py; use_rgb_features and the motion arch-table key are
-    # unused by every shipped reference config).
+    # them (flow_* sizing is handled by data/transforms.py; use_rgb_features
+    # and the motion arch-table key are unused by every shipped reference
+    # config; the generic lr is superseded by lr_g/lr_d).
     lr: float = 1e-4
-    num_accumulations: int = 1
     flow_raw_W: int = 1920
     flow_raw_H: int = 1024
     flow_input_W: int = 480

@@ -161,22 +161,28 @@ class Trainer:
             return batch["motions"]
         return batch["images"][1]
 
-    def make_train_step(self):
+    def make_train_step(self, accum: int = 1):
+        """One optimizer step. With ``accum > 1`` (reference
+        ``num_accumulations``, base_model.py:95-163) the step takes a LIST of
+        ``accum`` micro-batches: generator and discriminator gradients are
+        each accumulated with weight 1/accum across the micro-batches —
+        BN/spectral mutables carry sequentially exactly like the reference's
+        per-call in-place torch buffers — and each optimizer applies once."""
         opt = self.opt
         synth = SynthesisLoss(opt.losses, self.vgg, self.vgg_vars)
         model, d_model = self.model, self.d_model
         tx_g, tx_d = self.tx_g, self.tx_d
         use_d = self.use_discriminator
 
-        def train_step(state: TrainState, batch: Dict, rng
-                       ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        def g_value_grad(g_params, g_stats, g_spectral, d_params, d_spectral,
+                         batch, rng, step):
             middle = self._target(batch)
 
-            def g_loss_fn(g_params):
+            def g_loss_fn(gp):
                 g_vars = {
-                    "params": g_params,
-                    "batch_stats": state.g_stats,
-                    "spectral": state.g_spectral,
+                    "params": gp,
+                    "batch_stats": g_stats,
+                    "spectral": g_spectral,
                 }
                 (gen_img, pred), ups = model.apply(
                     g_vars, batch, True, False,
@@ -190,12 +196,11 @@ class Trainer:
                 if self.extra_losses_fn is not None:
                     extra = self.extra_losses_fn(
                         opt, pred, synth,
-                        epoch=state.step // self.steps_per_epoch)
+                        epoch=step // self.steps_per_epoch)
                     total = total + extra.pop("Total Extra")
                     logs.update(extra)
                 if use_d:
-                    d_vars = {"params": state.d_params,
-                              "spectral": state.d_spectral}
+                    d_vars = {"params": d_params, "spectral": d_spectral}
                     g_gan = generator_gan_losses(
                         d_model, d_vars, gen_img, middle,
                         opt.gan_mode, opt.lambda_feat, train=False,
@@ -206,52 +211,82 @@ class Trainer:
                 logs["Total Loss"] = total
                 return total, (ups, logs, gen_img)
 
-            (_, (g_ups, logs, gen_img)), g_grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True
-            )(state.g_params)
-            g_updates, new_opt_g = tx_g.update(g_grads, state.opt_g,
+            (_, aux), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(g_params)
+            return grads, aux, middle
+
+        def d_value_grad(d_params, d_spectral, gen_img, middle):
+            def d_loss_fn(dp):
+                d_vars = {"params": dp, "spectral": d_spectral}
+                both = jnp.concatenate(
+                    [jax.lax.stop_gradient(gen_img), middle], axis=0
+                )
+                out, d_ups = d_model.apply(
+                    d_vars, both, True, mutable=["spectral"]
+                )
+                b = gen_img.shape[0]
+                pred_fake = [[t[:b] for t in s] for s in out]
+                pred_real = [[t[b:] for t in s] for s in out]
+                from slrsfs_tpu.losses.gan import gan_loss
+
+                d_fake = gan_loss(pred_fake, False, True, opt.gan_mode)
+                d_real = gan_loss(pred_real, True, True, opt.gan_mode)
+                return d_fake + d_real, (d_ups, {"D_Fake": d_fake,
+                                                 "D_real": d_real})
+
+            (_, (d_ups, d_logs)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(d_params)
+            return d_grads, d_ups, d_logs
+
+        def train_step(state: TrainState, batch, rng
+                       ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+            micro = batch if isinstance(batch, (list, tuple)) else [batch]
+            assert len(micro) == accum, (len(micro), accum)
+            w = 1.0 / float(accum)
+            # accum == 1 keeps the exact single-step noise stream
+            rngs = [rng] if accum == 1 else list(jax.random.split(rng, accum))
+
+            g_stats, g_spectral = state.g_stats, state.g_spectral
+            d_spectral = state.d_spectral
+            g_sum = d_sum = None
+            logs: Dict = {}
+            for j, b in enumerate(micro):  # unrolled; accum is small+static
+                g_grads, (g_ups, l, gen_img), middle = g_value_grad(
+                    state.g_params, g_stats, g_spectral,
+                    state.d_params, d_spectral, b, rngs[j], state.step)
+                g_stats = g_ups.get("batch_stats", g_stats)
+                g_spectral = g_ups.get("spectral", g_spectral)
+                if use_d:
+                    d_grads, d_ups, d_logs = d_value_grad(
+                        state.d_params, d_spectral, gen_img, middle)
+                    d_spectral = d_ups.get("spectral", d_spectral)
+                    l.update(d_logs)
+                    d_sum = d_grads if d_sum is None else jax.tree.map(
+                        jnp.add, d_sum, d_grads)
+                g_sum = g_grads if g_sum is None else jax.tree.map(
+                    jnp.add, g_sum, g_grads)
+                logs = l if not logs else {k: logs[k] + l[k] for k in logs}
+
+            g_sum = jax.tree.map(lambda g: g * w, g_sum)
+            logs = {k: v * w for k, v in logs.items()}
+            g_updates, new_opt_g = tx_g.update(g_sum, state.opt_g,
                                                state.g_params)
             new_g_params = optax.apply_updates(state.g_params, g_updates)
 
-            new_d_params, new_d_spectral, new_opt_d = (
-                state.d_params, state.d_spectral, state.opt_d
-            )
+            new_d_params, new_opt_d = state.d_params, state.opt_d
             if use_d:
-                def d_loss_fn(d_params):
-                    d_vars = {"params": d_params,
-                              "spectral": state.d_spectral}
-                    both = jnp.concatenate(
-                        [jax.lax.stop_gradient(gen_img), middle], axis=0
-                    )
-                    out, d_ups = d_model.apply(
-                        d_vars, both, True, mutable=["spectral"]
-                    )
-                    b = gen_img.shape[0]
-                    pred_fake = [[t[:b] for t in s] for s in out]
-                    pred_real = [[t[b:] for t in s] for s in out]
-                    from slrsfs_tpu.losses.gan import gan_loss
-
-                    d_fake = gan_loss(pred_fake, False, True, opt.gan_mode)
-                    d_real = gan_loss(pred_real, True, True, opt.gan_mode)
-                    return d_fake + d_real, (d_ups, {"D_Fake": d_fake,
-                                                     "D_real": d_real})
-
-                (_, (d_ups, d_logs)), d_grads = jax.value_and_grad(
-                    d_loss_fn, has_aux=True
-                )(state.d_params)
-                d_updates, new_opt_d = tx_d.update(d_grads, state.opt_d,
+                d_sum = jax.tree.map(lambda g: g * w, d_sum)
+                d_updates, new_opt_d = tx_d.update(d_sum, state.opt_d,
                                                    state.d_params)
                 new_d_params = optax.apply_updates(state.d_params, d_updates)
-                new_d_spectral = d_ups.get("spectral", state.d_spectral)
-                logs.update(d_logs)
 
             new_state = state.replace(
                 step=state.step + 1,
                 g_params=new_g_params,
-                g_stats=g_ups.get("batch_stats", state.g_stats),
-                g_spectral=g_ups.get("spectral", state.g_spectral),
+                g_stats=g_stats,
+                g_spectral=g_spectral,
                 d_params=new_d_params,
-                d_spectral=new_d_spectral,
+                d_spectral=d_spectral,
                 opt_g=new_opt_g,
                 opt_d=new_opt_d,
             )

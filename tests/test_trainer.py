@@ -204,3 +204,53 @@ def test_slr_frame_sharded_rollout_matches_sparse():
     for k in ("PredImg", "FluidImg", "CompositeFluidAlpha"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    rtol=2e-5, atol=2e-5, err_msg=k)
+
+
+def test_gradient_accumulation_two_micro_batches():
+    """num_accumulations=2 (reference base_model.py:95-163): one optimizer
+    step from two micro-batches with 1/k-weighted gradients. With both
+    micro-batches identical, the accumulated update must closely match the
+    single-batch step (the only drift is the carried spectral power
+    iteration between micro-calls), and logs are the micro-batch mean."""
+    rng = np.random.default_rng(3)
+    opt = tiny_options(W=32, batch_size=2, num_accumulations=2)
+    model = BaselineTrainable(opt, train_max_steps=4)
+    trainer = Trainer(opt, model, steps_per_epoch=10)
+    batch = _tiny_batch(rng)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    step1 = jax.jit(trainer.make_train_step(accum=1))
+    step2 = jax.jit(trainer.make_train_step(accum=2))
+
+    s1, logs1 = step1(state, batch, jax.random.PRNGKey(7))
+    s2, logs2 = step2(state, [batch, batch], jax.random.PRNGKey(7))
+
+    assert int(s2.step) == 1  # ONE optimizer step for two micro-batches
+    for k, v in logs2.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    g0 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(state.g_params)])
+    g2 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree.leaves(s2.g_params)])
+    assert np.linalg.norm(g2 - g0) > 0.0  # G moved
+    d0 = jax.tree.leaves(state.d_params)[0]
+    d2 = jax.tree.leaves(s2.d_params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d2))  # D moved once
+
+    # noise-free logs are per-micro means: with identical micro-batches the
+    # L1 (no noise dependence beyond BN noise, which only shifts both micro
+    # calls) must sit in the same range as the single-batch step's
+    assert abs(float(logs2["L1"]) - float(logs1["L1"])) < \
+        0.5 * abs(float(logs1["L1"])) + 0.05
+
+    # accumulation is a pure function of (state, batches, rng)
+    s2b, logs2b = step2(state, [batch, batch], jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(s2.g_params)[0]),
+        np.asarray(jax.tree.leaves(s2b.g_params)[0]))
+
+    # distinct micro-batches also run end-to-end
+    batch_b = _tiny_batch(np.random.default_rng(11))
+    s3, logs3 = step2(state, [batch, batch_b], jax.random.PRNGKey(8))
+    assert int(s3.step) == 1
+    assert np.isfinite(np.asarray(logs3["Total Loss"]))
