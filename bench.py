@@ -87,6 +87,10 @@ def _scene(rng, h, w, moving_frac=0.5):
 
 
 def main():
+    from slrsfs_tpu.engine.init_utils import enable_persistent_cache
+
+    if os.environ.get("BENCH_PERSISTENT_CACHE", "1") != "0":
+        enable_persistent_cache()
     t_start = time.perf_counter()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     dev = jax.devices()[0]

@@ -21,10 +21,15 @@ def main(argv=None):
     p.add_argument("--vgg16-pth", default=None)
     p.add_argument("--alexnet-pth", default=None)
     p.add_argument("--lpips-pth", default=None)
+    p.add_argument("--i3d-pth", default=None,
+                   help="pytorch-i3d Kinetics state_dict; enables the FVD "
+                        "metric over the per-scene 60-frame stacks")
     p.add_argument("--out", default=None)
     a = p.parse_args(argv)
 
-    from slrsfs_tpu.eval.eval_claw import eval_claw_dir
+    import os
+
+    from slrsfs_tpu.eval.eval_claw import eval_claw_dir, eval_fvd_dir
     from slrsfs_tpu.eval.metrics import PerceptualMetrics
 
     metrics = PerceptualMetrics(a.vgg16_pth, a.alexnet_pth, a.lpips_pth)
@@ -33,6 +38,16 @@ def main(argv=None):
         flow_dir=a.flow_dir, input_dir=a.input_dir, n_frames=a.n_frames,
         out_json=a.out,
     )
+    if a.i3d_pth:
+        from slrsfs_tpu.eval.i3d import FVD
+
+        fvd = FVD(a.i3d_pth)
+        results["TotalFVD"] = eval_fvd_dir(a.pred_dir, a.gt_dir, fvd,
+                                           n_frames=a.n_frames)
+        out_json = a.out or os.path.join(
+            a.pred_dir, "..", "metric_fluid.json" if a.fluid else "metric.json")
+        with open(out_json, "w") as f:
+            json.dump(results, f)
     agg = {k: v for k, v in results.items()
            if k.startswith("Total") and not isinstance(v, dict)}
     print(json.dumps(agg, indent=2))

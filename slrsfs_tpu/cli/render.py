@@ -109,8 +109,8 @@ class SceneRenderer:
         self.mesh = None
         if shard_frames:
             # frame-axis sharding over all visible chips (ICI "sequence
-            # parallelism"; engine/rollout.py *_frame_sharded). dtype modes
-            # are single-chip-path features; sharded inference runs f32.
+            # parallelism"; engine/rollout.py *_frame_sharded); dtype modes
+            # and v2 checkpoints ride the sharded path too (round 3)
             from slrsfs_tpu.parallel.mesh import make_mesh
 
             self.mesh = make_mesh()
@@ -152,12 +152,15 @@ class SceneRenderer:
                                  slr_rollout_frame_sharded(
                                      self.model, v, i, f, self.n_frames, p,
                                      va, mesh,
+                                     compute_dtype=self.compute_dtype,
+                                     splat_dtype=self.splat_dtype,
                                      alpha_region=rg if has_region else None))
                 else:
                     fn = jax.jit(lambda v, i, f, p, va, rg: {
                         "PredImg": baseline_rollout_frame_sharded(
                             self.model, v, i, f, self.n_frames, p, va,
-                            mesh)})
+                            mesh, compute_dtype=self.compute_dtype,
+                            splat_dtype=self.splat_dtype)})
             elif self.slr:
                 fn = jax.jit(lambda v, i, f, p, va, rg: slr_rollout_sparse(
                     self.model, v, i, f, self.n_frames, p, va,
@@ -317,6 +320,9 @@ def _save_outputs(outs, out_dir, name, out_w, out_h):
 
 
 def main(argv=None):
+    from slrsfs_tpu.engine.init_utils import enable_persistent_cache
+
+    enable_persistent_cache()  # sweeps/re-runs skip recompiles
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("image")
     p.add_argument("flow")

@@ -17,6 +17,9 @@ import os
 
 
 def main(argv=None):
+    from slrsfs_tpu.engine.init_utils import enable_persistent_cache
+
+    enable_persistent_cache()  # sweeps/re-runs skip recompiles
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("scenes_dir")
     p.add_argument("save_dir")

@@ -130,8 +130,22 @@ def main(argv=None):
                    help="freeze the embedded regressor's params (reference "
                         "train_animating_fixmotion.py:448-450)")
     p.add_argument("--num-accumulations", type=int, default=1,
-                   help="micro-batches per optimizer step; gradients are "
-                        "averaged (reference base_model.py:95-163)")
+                   help="micro-batches per optimizer step "
+                        "(reference base_model.py:95-163)")
+    p.add_argument("--motion-losses", nargs="+", default=None,
+                   help="motion-stage loss spec (reference --motion_losses; "
+                        "shipped config: 10.0_EndPointError, "
+                        "train_motion_EPE_MotionGAN.sh:17). The argparse "
+                        "default '1.0_l1' is broken in the reference itself "
+                        "(MotionLoss.get_loss_from_name returns None for "
+                        "it), so motion stages default to the shipped value")
+    p.add_argument("--accum-scale", choices=["mean", "reference"],
+                   default="mean",
+                   help="accumulated-gradient scale: 'mean' averages "
+                        "micro-batch gradients; 'reference' reproduces the "
+                        "reference's literal loss/weight quirk (each micro "
+                        "loss x num_steps, grads summed = accum^2 x mean; "
+                        "base_model.py:106,129-133)")
     p.add_argument("--train-max-steps", type=int, default=60,
                    help="static bound on per-sample Euler integration steps; "
                         "must be >= the sampled end-start+1 span (= clip "
@@ -181,7 +195,14 @@ def main(argv=None):
         train_motion=a.embed_motion,
         freeze_motion=a.freeze_motion,
         num_accumulations=max(1, a.num_accumulations),
+        accum_scale=a.accum_scale,
     )
+    if a.motion_losses:
+        opt = opt.replace(motion_losses=tuple(a.motion_losses))
+    elif a.model_type in ("SPADE_unet_mask_motion", "unet_motion"):
+        # shipped motion-stage config (train_motion_EPE_MotionGAN.sh:17);
+        # the reference argparse default '1.0_l1' crashes its own MotionLoss
+        opt = opt.replace(motion_losses=("10.0_EndPointError",))
     if (a.init_bg_from or a.init_motion_from) and not a.init_from:
         p.error("--init-bg-from/--init-motion-from overlay --init-from and "
                 "require it")
@@ -370,10 +391,17 @@ def main(argv=None):
             writer.add_scalar(f"val/{k}", v, epoch)
         # image grids for pred-dict keys (reference train_animating.py:101-138)
         imgs = {k: v for k, v in pred.items()
-                if hasattr(v, "ndim") and v.ndim == 4 and v.shape[-1] in (1, 3)}
+                if hasattr(v, "ndim") and v.ndim == 4
+                and v.shape[-1] in (1, 2, 3)}
         for k, v in imgs.items():
-            grid = np.asarray(v[0])
-            if opt.normalize_image and "Img" in k:
+            grid = np.asarray(v[0], np.float32)
+            if grid.shape[-1] == 2:
+                # 2-channel Motion/flow keys → color-wheel rendering
+                # (reference train_animating.py:114-120 via flow2img)
+                from slrsfs_tpu.utils.flow_viz import flow_to_image
+
+                grid = flow_to_image(grid).astype(np.float32) / 255.0
+            elif opt.normalize_image and "Img" in k:
                 # [-1,1] → [0,1] for logging (reference base_model.py:110-113)
                 grid = grid * 0.5 + 0.5
             writer.add_image(f"val/{k}", np.clip(grid, 0, 1), epoch,
@@ -390,6 +418,23 @@ def main(argv=None):
             save_native(ckpt_dir + "_best", state, opt, epoch=epoch,
                         extra={"best_perceptual": best_perceptual},
                         block=False)
+        if epoch % 25 == 0 and epoch >= 50 and os.path.isdir(
+                ckpt_dir + "_best"):
+            # epoch-numbered snapshot of the best-so-far checkpoint so a
+            # late-training regression can't overwrite the only good weights
+            # (reference train_animating.py:357-359)
+            import shutil
+
+            from slrsfs_tpu.io.checkpoint import wait_for_checkpoints
+
+            wait_for_checkpoints()  # the _best save must be durable first
+            snap = ckpt_dir + f"_best{epoch}"
+            if os.path.isdir(snap):
+                shutil.rmtree(snap)
+            shutil.copytree(ckpt_dir + "_best", snap)
+            if os.path.exists(ckpt_dir + "_best.meta.json"):
+                shutil.copy(ckpt_dir + "_best.meta.json",
+                            snap + ".meta.json")
         print(f"epoch {epoch} done in {time.time()-t0:.0f}s; "
               f"val {val_means}", flush=True)
 

@@ -111,6 +111,12 @@ class Options:
     niter: int = 100
     niter_decay: int = 10
     num_accumulations: int = 1  # micro-batches/step (base_model.py:95-163)
+    # 'mean': grads averaged over micro-batches (sane default).
+    # 'reference': each micro-batch loss scaled x num_accumulations and
+    # grads summed, i.e. accum^2 x the mean — the reference's literal
+    # loss/weight quirk (base_model.py:106,129-133). Only differs when
+    # num_accumulations > 1.
+    accum_scale: str = "mean"
     seed: int = 0
 
     # ---- data -----------------------------------------------------------------

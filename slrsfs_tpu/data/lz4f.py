@@ -86,10 +86,11 @@ def decompress(data: bytes) -> bytes:
         chunk = max(1 << 16, len(data) * 4)
         dst = ctypes.create_string_buffer(chunk)
         out = []
+        hint = 0
         while src_off < len(data):
             src_size = ctypes.c_size_t(len(data) - src_off)
             dst_size = ctypes.c_size_t(chunk)
-            _check(_LIB.LZ4F_decompress(
+            hint = _check(_LIB.LZ4F_decompress(
                 dctx,
                 dst, ctypes.byref(dst_size),
                 ctypes.byref(src, src_off), ctypes.byref(src_size),
@@ -99,6 +100,13 @@ def decompress(data: bytes) -> bytes:
             if src_size.value == 0 and dst_size.value == 0:
                 raise RuntimeError("liblz4: truncated LZ4 frame")
             src_off += src_size.value
+        # LZ4F_decompress returns a nonzero "bytes still expected" hint when
+        # the frame is incomplete; without this check a truncated input that
+        # is fully consumed would return partial plaintext silently and
+        # surface later as a confusing pickle error.
+        if hint:
+            raise RuntimeError("liblz4: truncated LZ4 frame "
+                               f"({hint} more bytes expected)")
         return b"".join(out)
     finally:
         _LIB.LZ4F_freeDecompressionContext(dctx)

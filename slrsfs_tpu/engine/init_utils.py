@@ -10,8 +10,29 @@ for benchmarks and smoke tests."""
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+
+def enable_persistent_cache(cache_dir: str | None = None):
+    """Persistent XLA compilation cache for CLIs/benchmarks.
+
+    The SLR bf16 rollout costs minutes to compile (BENCH_r02 tail); the
+    cache is keyed by HLO hash so a re-run (or the next scene sweep) pays
+    ~0 instead. Tests already do this (tests/conftest.py:23-28); CLIs call
+    this at startup. Override the location with SLRSFS_JAX_CACHE; set it to
+    the empty string to disable."""
+    env = os.environ.get("SLRSFS_JAX_CACHE")
+    if env == "":
+        return
+    cache_dir = env or cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "slrsfs_tpu", "jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def settle(model, variables, example_args, n: int = 8, method=None):

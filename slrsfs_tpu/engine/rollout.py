@@ -157,6 +157,65 @@ def prepare_scene_sparse(flow_np, pad_multiple: int = 1024):
     return positions, valid
 
 
+def _cast_for_compute(variables, img, compute_dtype):
+    """Cast f32 params/activations to the compute dtype (bf16 speed mode)."""
+    if compute_dtype == jnp.float32:
+        return variables, img
+    variables = jax.tree.map(
+        lambda a: a.astype(compute_dtype)
+        if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+        variables,
+    )
+    return variables, img.astype(compute_dtype)
+
+
+def _baseline_pack_fn(opt, fs, z, positions, valid, static_mask, splat_dtype):
+    """Per-frame packed-splat-input builder shared by the sparse and
+    frame-sharded baseline rollouts.
+
+    Returns ``pack(t_disp) -> (u_static (H, W, C+1), u_mov (P, C+1))``. For
+    non-v2 Z-norms the packed rows are frame-constant (t_disp ignored,
+    closure constants); with ``use_softmax_splatter_v2`` the per-frame
+    maximum-warp-norm runs sparsely from the moving set
+    (ops/splat.py:maximum_warp_norm_sparse) — only e^zn changes per frame,
+    so the feature gathers are cached and rows are rebuilt per call."""
+    H, W = static_mask.shape
+    if not opt.use_softmax_splatter_v2:
+        zn = z_normalize(opt, z, None)
+        u = pack_splat_input(fs, zn)[0].astype(splat_dtype)  # (H, W, C+1)
+        # static identity: alpha·U + (1-alpha)·U = U on static pixels
+        u_static = (u * static_mask[..., None]).astype(splat_dtype)
+        u_mov = (u[positions[:, 1], positions[:, 0]]
+                 * valid[:, None]).astype(splat_dtype)  # (P, C+1)
+        return lambda t_disp: (u_static, u_mov)
+
+    from slrsfs_tpu.ops.splat import maximum_warp_norm_sparse
+
+    z2d = z[0, ..., 0].astype(jnp.float32)
+    z_mov = z2d[positions[:, 1], positions[:, 0]]
+    fs_static = fs[0].astype(jnp.float32) * static_mask[..., None]
+    fs_mov = (fs[0][positions[:, 1], positions[:, 0]]
+              .astype(jnp.float32) * valid[:, None])
+
+    def v2_pack(t_disp):
+        zmax_d, zmax_m = maximum_warp_norm_sparse(
+            z2d, static_mask, z_mov, positions, valid, t_disp, H, W)
+        zn_d = z2d - zmax_d
+        zn_m = z_mov - zmax_m
+        if not opt.no_clamp_Z:
+            zn_d = jnp.clip(zn_d, -20.0, 20.0)
+            zn_m = jnp.clip(zn_m, -20.0, 20.0)
+        e_d = (jnp.exp(zn_d) * static_mask)[..., None]
+        e_m = (jnp.exp(zn_m) * valid)[:, None]
+        u_static_t = jnp.concatenate(
+            [fs_static * e_d, e_d], axis=-1).astype(splat_dtype)
+        u_mov_t = jnp.concatenate(
+            [fs_mov * e_m, e_m], axis=-1).astype(splat_dtype)
+        return u_static_t, u_mov_t
+
+    return v2_pack
+
+
 def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
                             positions, valid, decode_batch: int = 6,
                             compute_dtype=jnp.float32, splat_dtype=None):
@@ -180,14 +239,7 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
 
     H, W = flow.shape[0], flow.shape[1]
 
-    if compute_dtype != jnp.float32:
-        variables = jax.tree.map(
-            lambda a: a.astype(compute_dtype)
-            if isinstance(a, jax.Array) and a.dtype == jnp.float32 else a,
-            variables,
-        )
-        img = img.astype(compute_dtype)
-
+    variables, img = _cast_for_compute(variables, img, compute_dtype)
     splat_dtype = jnp.dtype(splat_dtype or jnp.float32)
 
     fs, z = model.apply(variables, img, method="encode")
@@ -198,53 +250,17 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     ].max(valid)
     static_mask = 1.0 - moving_mask
 
-    if not v2:
-        zn = z_normalize(opt, z, None)
-        u = pack_splat_input(fs, zn)[0].astype(splat_dtype)  # (H, W, C+1)
-        # static identity: alpha·U + (1-alpha)·U = U on static pixels
-        u_static = (u * static_mask[..., None]).astype(splat_dtype)
-        u_mov = (u[positions[:, 1], positions[:, 0]]
-                 * valid[:, None]).astype(splat_dtype)  # (P, C+1)
-    else:
-        # per-frame v2 maximum-warp-norm (previously a dense fallback):
-        # only e^zn changes per frame, so cache the feature gathers and
-        # rebuild the packed rows inside the scan (ops/splat.py
-        # maximum_warp_norm_sparse)
-        from slrsfs_tpu.ops.splat import maximum_warp_norm_sparse
-
-        z2d = z[0, ..., 0].astype(jnp.float32)
-        z_mov = z2d[positions[:, 1], positions[:, 0]]
-        fs_static = fs[0].astype(jnp.float32) * static_mask[..., None]
-        fs_mov = (fs[0][positions[:, 1], positions[:, 0]]
-                  .astype(jnp.float32) * valid[:, None])
-
-        def v2_pack(t_disp):
-            zmax_d, zmax_m = maximum_warp_norm_sparse(
-                z2d, static_mask, z_mov, positions, valid, t_disp, H, W)
-            zn_d = z2d - zmax_d
-            zn_m = z_mov - zmax_m
-            if not opt.no_clamp_Z:
-                zn_d = jnp.clip(zn_d, -20.0, 20.0)
-                zn_m = jnp.clip(zn_m, -20.0, 20.0)
-            e_d = (jnp.exp(zn_d) * static_mask)[..., None]
-            e_m = (jnp.exp(zn_m) * valid)[:, None]
-            u_static_t = jnp.concatenate(
-                [fs_static * e_d, e_d], axis=-1).astype(splat_dtype)
-            u_mov_t = jnp.concatenate(
-                [fs_mov * e_m, e_m], axis=-1).astype(splat_dtype)
-            return u_static_t, u_mov_t
+    pack = _baseline_pack_fn(opt, fs, z, positions, valid, static_mask,
+                             splat_dtype)
 
     # both directions in one scan (halves the fixed per-step overhead)
     disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
 
     def frame(_, t):
         alpha = 1.0 - t.astype(jnp.float32) / N
-        if v2:
-            # one Z-norm from the forward flow feeds both ends (reference
-            # forward_flow :849-895)
-            u_static_t, u_mov_t = v2_pack(disp_f[t])
-        else:
-            u_static_t, u_mov_t = u_static, u_mov
+        # v2: one Z-norm from the forward flow feeds both ends (reference
+        # forward_flow :849-895)
+        u_static_t, u_mov_t = pack(disp_f[t])
         # both ends in ONE scatter op (per-op overhead dominates; splat.py)
         g = (softsplat_sum_at_quad_dual(
             u_mov_t, positions, disp_f[t], disp_p[N - t],
@@ -317,6 +333,64 @@ def _alpha_extras(opt, img, flow, bg_img_raw, mask_rock):
     return kw
 
 
+def _slr_pack_fn(opt, fs, z, a_fl_logits, a_bg_sig, positions, valid,
+                 static_mask, splat_dtype):
+    """Per-frame packed-splat-input builder for the two-layer SLR rollouts
+    (shared by sparse and frame-sharded paths).
+
+    Returns (``pack(t_disp) -> (u_static, u_mov)``, use_alpha0). Non-v2:
+    frame-constant closure. v2: per-frame sparse maximum-warp-norm — the
+    packed tensor is (base channels)·e^zn on the Z-scaled channels only, so
+    base (zn = 0) is cached and rows are rebuilt per call."""
+    from slrsfs_tpu.models.baseline import z_normalize
+
+    H, W = static_mask.shape
+    if not opt.use_softmax_splatter_v2:
+        zn = z_normalize(opt, z, None)
+        u, use_alpha0 = slr_pack_splat_input(
+            opt, fs.astype(jnp.float32), zn.astype(jnp.float32),
+            a_fl_logits.astype(jnp.float32), a_bg_sig,
+        )
+        u = u[0].astype(splat_dtype)  # (H, W, C)
+        u_static = (u * static_mask[..., None]).astype(splat_dtype)
+        u_mov = (u[positions[:, 1], positions[:, 0]]
+                 * valid[:, None]).astype(splat_dtype)
+        return (lambda t_disp: (u_static, u_mov)), use_alpha0
+
+    from slrsfs_tpu.ops.splat import maximum_warp_norm_sparse
+
+    base, use_alpha0 = slr_pack_splat_input(
+        opt, fs.astype(jnp.float32),
+        jnp.zeros_like(z, dtype=jnp.float32),
+        a_fl_logits.astype(jnp.float32), a_bg_sig,
+    )
+    base = base[0]  # (H, W, C)
+    C = base.shape[-1]
+    nfs = C - 3 if use_alpha0 else C - 2
+    # channels scaled by e^Z: [fs·e^Z, af·e^C, e^C, e^Z] / [.., af·e^Z, e^Z]
+    sel = (jnp.array([1.0] * nfs + [0.0, 0.0, 1.0], jnp.float32)
+           if use_alpha0 else jnp.ones((C,), jnp.float32))
+    base_static = base * static_mask[..., None]
+    base_mov = base[positions[:, 1], positions[:, 0]] * valid[:, None]
+    z2d = z[0, ..., 0].astype(jnp.float32)
+    z_mov = z2d[positions[:, 1], positions[:, 0]]
+
+    def v2_pack(t_disp):
+        zmax_d, zmax_m = maximum_warp_norm_sparse(
+            z2d, static_mask, z_mov, positions, valid, t_disp, H, W)
+        zn_d = z2d - zmax_d
+        zn_m = z_mov - zmax_m
+        if not opt.no_clamp_Z:
+            zn_d = jnp.clip(zn_d, -20.0, 20.0)
+            zn_m = jnp.clip(zn_m, -20.0, 20.0)
+        e_d = jnp.exp(zn_d)[..., None] * sel + (1.0 - sel)
+        e_m = jnp.exp(zn_m)[:, None] * sel + (1.0 - sel)
+        return ((base_static * e_d).astype(splat_dtype),
+                (base_mov * e_m).astype(splat_dtype))
+
+    return v2_pack, use_alpha0
+
+
 def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
                        positions, valid, bg_img_raw=None,
                        alpha_region=None, decode_batch: int = 20,
@@ -337,19 +411,12 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
     opt = model.opt
     N = n_frames
     assert N % decode_batch == 0, (N, decode_batch)
-    v2 = opt.use_softmax_splatter_v2
     H, W = flow.shape[0], flow.shape[1]
 
-    if compute_dtype != jnp.float32:
-        variables = jax.tree.map(
-            lambda a: a.astype(compute_dtype)
-            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
-            variables,
-        )
-        img = img.astype(compute_dtype)
+    variables, img = _cast_for_compute(variables, img, compute_dtype)
 
     fs, z = model.apply(variables, img, method="encode")
-    from slrsfs_tpu.models.baseline import z_for_splat, z_normalize
+    from slrsfs_tpu.models.baseline import z_for_splat
 
     z = z_for_splat(opt, fs, z)
 
@@ -368,62 +435,17 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
     ].max(valid)
     static_mask = 1.0 - moving_mask
 
-    if not v2:
-        zn = z_normalize(opt, z, None)
-        u, use_alpha0 = slr_pack_splat_input(
-            opt, fs.astype(jnp.float32), zn.astype(jnp.float32),
-            a_fl_logits.astype(jnp.float32), a_bg_sig,
-        )
-        u = u[0].astype(splat_dtype)  # (H, W, C)
-        u_static = (u * static_mask[..., None]).astype(splat_dtype)
-        u_mov = (u[positions[:, 1], positions[:, 0]]
-                 * valid[:, None]).astype(splat_dtype)
-    else:
-        # per-frame v2 maximum-warp-norm, sparse (previously dense fallback).
-        # The packed tensor is (base channels)·e^zn on the Z-scaled channels
-        # only — base (zn = 0) is frame-constant, so the scan rebuilds rows
-        # from cached gathers and one sparse max-norm per frame.
-        from slrsfs_tpu.ops.splat import maximum_warp_norm_sparse
-
-        base, use_alpha0 = slr_pack_splat_input(
-            opt, fs.astype(jnp.float32),
-            jnp.zeros_like(z, dtype=jnp.float32),
-            a_fl_logits.astype(jnp.float32), a_bg_sig,
-        )
-        base = base[0]  # (H, W, C)
-        C = base.shape[-1]
-        nfs = C - 3 if use_alpha0 else C - 2
-        # channels scaled by e^Z: [fs·e^Z, af·e^C, e^C, e^Z] / [.., af·e^Z, e^Z]
-        sel = (jnp.array([1.0] * nfs + [0.0, 0.0, 1.0], jnp.float32)
-               if use_alpha0 else jnp.ones((C,), jnp.float32))
-        base_static = base * static_mask[..., None]
-        base_mov = base[positions[:, 1], positions[:, 0]] * valid[:, None]
-        z2d = z[0, ..., 0].astype(jnp.float32)
-        z_mov = z2d[positions[:, 1], positions[:, 0]]
-
-        def v2_pack(t_disp):
-            zmax_d, zmax_m = maximum_warp_norm_sparse(
-                z2d, static_mask, z_mov, positions, valid, t_disp, H, W)
-            zn_d = z2d - zmax_d
-            zn_m = z_mov - zmax_m
-            if not opt.no_clamp_Z:
-                zn_d = jnp.clip(zn_d, -20.0, 20.0)
-                zn_m = jnp.clip(zn_m, -20.0, 20.0)
-            e_d = jnp.exp(zn_d)[..., None] * sel + (1.0 - sel)
-            e_m = jnp.exp(zn_m)[:, None] * sel + (1.0 - sel)
-            return ((base_static * e_d).astype(splat_dtype),
-                    (base_mov * e_m).astype(splat_dtype))
+    pack, use_alpha0 = _slr_pack_fn(opt, fs, z, a_fl_logits, a_bg_sig,
+                                    positions, valid, static_mask,
+                                    splat_dtype)
 
     # both directions in one scan (halves the fixed per-step overhead)
     disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
 
     def frame(_, t):
         alpha = jnp.clip(1.0 - t.astype(jnp.float32) / N, ALPHA_MIN, ALPHA_MAX)
-        if v2:
-            # one Z-norm from the forward flow feeds both ends
-            u_static_t, u_mov_t = v2_pack(disp_f[t])
-        else:
-            u_static_t, u_mov_t = u_static, u_mov
+        # v2: one Z-norm from the forward flow feeds both ends
+        u_static_t, u_mov_t = pack(disp_f[t])
         g = (softsplat_sum_at_quad_dual(
             u_mov_t, positions, disp_f[t], disp_p[N - t],
             alpha, 1.0 - alpha, H, W) + u_static_t)[None].astype(jnp.float32)
@@ -483,36 +505,39 @@ def _slr_decode_stack(model, variables, gen_fs_all, af_all, img, a_bg_sig,
 
 def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
                                    positions, valid, mesh,
-                                   axis: str = "data"):
+                                   axis: str = "data",
+                                   compute_dtype=jnp.float32,
+                                   splat_dtype=None):
     """Shard the rollout's FRAME axis across a device mesh.
 
     Frames are independent given the integrated displacement stacks
     (SURVEY.md §5.7), so after the (cheap, replicated) Euler scan each device
     renders N/n_devices frames: the per-frame splat+decode is expressed as a
     vmap over the frame axis with a sharding constraint, and XLA partitions
-    it across ICI with no collectives in the hot loop.
+    it across ICI with no collectives in the hot loop. Supports every
+    Z-norm variant including the per-frame v2 maximum-warp-norm (sparse,
+    runs inside each device's frame slice) and the bf16 compute/splat speed
+    modes of ``baseline_rollout_sparse``.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from slrsfs_tpu.models.baseline import (
-        pack_splat_input, z_for_splat, z_normalize,
-    )
+    from slrsfs_tpu.models.baseline import z_for_splat
 
     opt = model.opt
     N = n_frames
     H, W = flow.shape[0], flow.shape[1]
-    assert not opt.use_softmax_splatter_v2
+
+    variables, img = _cast_for_compute(variables, img, compute_dtype)
+    splat_dtype = jnp.dtype(splat_dtype or jnp.float32)
 
     fs, z = model.apply(variables, img, method="encode")
     z = z_for_splat(opt, fs, z)
-    zn = z_normalize(opt, z, None)
-    u = pack_splat_input(fs, zn)[0]
 
     moving_mask = jnp.zeros((H, W), jnp.float32).at[
         positions[:, 1], positions[:, 0]
     ].max(valid)
-    u_static = u * (1.0 - moving_mask)[..., None]
-    u_mov = u[positions[:, 1], positions[:, 0]] * valid[:, None]
+    pack = _baseline_pack_fn(opt, fs, z, positions, valid,
+                             1.0 - moving_mask, splat_dtype)
 
     # both directions in one scan (halves the fixed per-step overhead)
     disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
@@ -521,12 +546,14 @@ def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
 
     def frame(t):
         alpha = 1.0 - t.astype(jnp.float32) / N
-        g = softsplat_sum_at_quad_dual(
-            u_mov, positions, disp_f[t], disp_p[N - t],
-            alpha, 1.0 - alpha, H, W) + u_static
+        u_static_t, u_mov_t = pack(disp_f[t])
+        g = (softsplat_sum_at_quad_dual(
+            u_mov_t, positions, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, H, W) + u_static_t).astype(jnp.float32)
         norm = jnp.maximum(g[..., -1:], 1e-8)
-        gen_fs = g[..., :-1] / norm
-        return model.apply(variables, gen_fs[None], method="decode")[0]
+        gen_fs = (g[..., :-1] / norm).astype(compute_dtype)
+        out = model.apply(variables, gen_fs[None], method="decode")[0]
+        return out.astype(jnp.float32)
 
     ts = jax.lax.with_sharding_constraint(jnp.arange(N), sh)
     frames = jax.vmap(frame)(ts)
@@ -536,43 +563,46 @@ def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
 def slr_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
                               positions, valid, mesh, axis: str = "data",
                               bg_img_raw=None, alpha_region=None,
-                              mask_rock=None):
+                              mask_rock=None, compute_dtype=jnp.float32,
+                              splat_dtype=None):
     """Frame-axis-sharded SLR inference (two-layer flagship model).
 
     Same scheme as ``baseline_rollout_frame_sharded``: the per-scene work
     (encode, background, alpha head, Euler scan) is replicated, then each
     device renders N/n_devices frames — splat, fluid decode, alpha decode,
-    composite — with no collectives in the hot loop. Returns the same dict
-    as ``slr_rollout_sparse``.
+    composite — with no collectives in the hot loop. Supports the v2
+    per-frame maximum-warp-norm and the bf16 compute/splat speed modes.
+    Returns the same dict as ``slr_rollout_sparse``.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from slrsfs_tpu.models.baseline import z_for_splat, z_normalize
+    from slrsfs_tpu.models.baseline import z_for_splat
 
     opt = model.opt
     N = n_frames
     H, W = flow.shape[0], flow.shape[1]
-    assert not opt.use_softmax_splatter_v2
+
+    variables, img = _cast_for_compute(variables, img, compute_dtype)
+    splat_dtype = jnp.dtype(splat_dtype or jnp.float32)
 
     fs, z = model.apply(variables, img, method="encode")
     z = z_for_splat(opt, fs, z)
-    zn = z_normalize(opt, z, None)
 
     if bg_img_raw is None:
         bg_img_raw = model.apply(variables, img, method="bg")
-    bg_tanh = jnp.tanh(bg_img_raw)
+    bg_tanh = jnp.tanh(bg_img_raw.astype(jnp.float32))
     a_bg_logits, a_fl_logits = model.apply(
         variables, img, method="alpha_encode",
         **_alpha_extras(opt, img, flow, bg_img_raw, mask_rock))
+    a_bg_logits = a_bg_logits.astype(jnp.float32)
     a_bg_sig = jax.nn.sigmoid(a_bg_logits)
 
-    u, use_alpha0 = slr_pack_splat_input(opt, fs, zn, a_fl_logits, a_bg_sig)
-    u = u[0]
     moving_mask = jnp.zeros((H, W), jnp.float32).at[
         positions[:, 1], positions[:, 0]
     ].max(valid)
-    u_static = u * (1.0 - moving_mask)[..., None]
-    u_mov = u[positions[:, 1], positions[:, 0]] * valid[:, None]
+    pack, use_alpha0 = _slr_pack_fn(opt, fs, z, a_fl_logits, a_bg_sig,
+                                    positions, valid, 1.0 - moving_mask,
+                                    splat_dtype)
 
     disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
 
@@ -584,17 +614,21 @@ def slr_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
 
     def frame(t):
         alpha = jnp.clip(1.0 - t.astype(jnp.float32) / N, ALPHA_MIN, ALPHA_MAX)
+        u_static_t, u_mov_t = pack(disp_f[t])
         g = (softsplat_sum_at_quad_dual(
-            u_mov, positions, disp_f[t], disp_p[N - t],
-            alpha, 1.0 - alpha, H, W) + u_static)[None]
+            u_mov_t, positions, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, H, W) + u_static_t)[None].astype(jnp.float32)
         gen_fs, af_warped = slr_unpack_splatted(g, use_alpha0)
+        gen_fs = gen_fs.astype(compute_dtype)
+        af_warped = af_warped.astype(compute_dtype)
         fluid = model.apply(variables, gen_fs, method="decode_fluid")
         ga_logits = model.apply(variables, gen_fs, af_warped,
                                 method="decode_alpha", img=img)
-        ga = jax.nn.sigmoid(ga_logits)
-        gen, comp_alpha = slr_composite(fluid, ga, a_bg_sig, bg_tanh,
+        ga = jax.nn.sigmoid(ga_logits.astype(jnp.float32))
+        gen, comp_alpha = slr_composite(fluid.astype(jnp.float32), ga,
+                                        a_bg_sig, bg_tanh,
                                         alpha_region=region, opt=opt,
-                                        ga_raw=ga_logits,
+                                        ga_raw=ga_logits.astype(jnp.float32),
                                         a_bg_raw=a_bg_logits)
         return gen[0], fluid[0], comp_alpha[0]
 

@@ -165,9 +165,16 @@ class Trainer:
         """One optimizer step. With ``accum > 1`` (reference
         ``num_accumulations``, base_model.py:95-163) the step takes a LIST of
         ``accum`` micro-batches: generator and discriminator gradients are
-        each accumulated with weight 1/accum across the micro-batches —
-        BN/spectral mutables carry sequentially exactly like the reference's
-        per-call in-place torch buffers — and each optimizer applies once."""
+        each accumulated across the micro-batches — BN/spectral mutables
+        carry sequentially exactly like the reference's per-call in-place
+        torch buffers — and each optimizer applies once.
+
+        Gradient scale follows ``opt.accum_scale``: 'mean' (default) weights
+        each micro-batch 1/accum; 'reference' reproduces the reference's
+        literal semantics — every micro-batch loss divided by
+        weight = 1/num_steps (base_model.py:106,129-133), i.e. summed
+        gradients x accum = accum^2 x the mean. Logged losses are
+        per-micro-batch means in BOTH modes."""
         opt = self.opt
         synth = SynthesisLoss(opt.losses, self.vgg, self.vgg_vars)
         model, d_model = self.model, self.d_model
@@ -242,7 +249,9 @@ class Trainer:
                        ) -> Tuple[TrainState, Dict[str, jax.Array]]:
             micro = batch if isinstance(batch, (list, tuple)) else [batch]
             assert len(micro) == accum, (len(micro), accum)
-            w = 1.0 / float(accum)
+            w = (float(accum) if opt.accum_scale == "reference"
+                 else 1.0 / float(accum))
+            w_log = 1.0 / float(accum)
             # accum == 1 keeps the exact single-step noise stream
             rngs = [rng] if accum == 1 else list(jax.random.split(rng, accum))
 
@@ -268,7 +277,7 @@ class Trainer:
                 logs = l if not logs else {k: logs[k] + l[k] for k in logs}
 
             g_sum = jax.tree.map(lambda g: g * w, g_sum)
-            logs = {k: v * w for k, v in logs.items()}
+            logs = {k: v * w_log for k, v in logs.items()}
             g_updates, new_opt_g = tx_g.update(g_sum, state.opt_g,
                                                state.g_params)
             new_g_params = optax.apply_updates(state.g_params, g_updates)

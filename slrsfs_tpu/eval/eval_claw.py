@@ -109,6 +109,31 @@ def eval_claw_dir(pred_dir: str, gt_dir: str,
     return results
 
 
+def eval_fvd_dir(pred_dir: str, gt_dir: str, fvd,
+                 n_frames: int = N_FRAMES) -> float:
+    """FVD over the scene set: one 60-frame video per scene, generated
+    (PredImg stacks) vs ground truth (GT mp4 frames resized to pred size).
+    ``fvd``: an available :class:`slrsfs_tpu.eval.i3d.FVD` scorer."""
+    scenes = sorted(
+        x for x in os.listdir(pred_dir)
+        if os.path.exists(os.path.join(pred_dir, x, "PredImg", "000000.png"))
+        and os.path.exists(os.path.join(gt_dir, x + ".mp4"))
+        and len(os.listdir(os.path.join(pred_dir, x, "PredImg"))) == n_frames
+    )
+    real, gen = [], []
+    for scene in scenes:
+        vr = VideoReader(os.path.join(gt_dir, scene + ".mp4"))
+        pred = np.concatenate([
+            _img01(os.path.join(pred_dir, scene, "PredImg", f"{t:06d}.png"))
+            for t in range(n_frames)])
+        gt = np.concatenate([_gt01(vr[t], pred.shape[1:3])
+                             for t in range(n_frames)])
+        vr.close()
+        gen.append(pred)
+        real.append(gt)
+    return fvd.score(real, gen)
+
+
 def compare_metrics(json_a: str, json_b: str, key: str = "LPIPS") -> Dict:
     """Per-scene diff of two metric.json files
     (reference evaluation/animation/compare_metric.py)."""

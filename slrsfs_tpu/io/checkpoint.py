@@ -445,6 +445,7 @@ def import_optimizer_states(ckpt: Mapping, opt: Options,
 # ---------------------------------------------------------------------------
 
 _CKPTR = None
+_PENDING_META = []
 
 
 def _checkpointer():
@@ -456,24 +457,7 @@ def _checkpointer():
     return _CKPTR
 
 
-def save_native(path: str, state, opt: Options, epoch: int = 0,
-                extra: Optional[Dict] = None, block: bool = True):
-    """Atomic orbax save of a TrainState (+ Options JSON + metadata).
-
-    ``block=False`` returns as soon as the on-device state is snapshotted
-    and lets orbax write to disk in the background, overlapping the next
-    epoch's training (reference saves synchronously each epoch,
-    train_animating.py:243-263). Call :func:`wait_for_checkpoints` (or the
-    next blocking save) before reading the checkpoint back."""
-    path = os.path.abspath(path)
-    ckptr = _checkpointer()
-    ckptr.wait_until_finished()  # serialize with any still-pending save
-    ckptr.save(path, state, force=True)
-    if block:
-        ckptr.wait_until_finished()
-    meta = {"opts": json.loads(opt.to_json()), "epoch": epoch}
-    if extra:
-        meta.update(extra)
+def _write_meta(path: str, meta: Dict):
     # atomic meta write; restore_native treats meta-without-data (a crash
     # during an async save) as no checkpoint
     tmp = path + ".meta.json.tmp"
@@ -482,10 +466,50 @@ def save_native(path: str, state, opt: Options, epoch: int = 0,
     os.replace(tmp, path + ".meta.json")
 
 
+def save_native(path: str, state, opt: Options, epoch: int = 0,
+                extra: Optional[Dict] = None, block: bool = True):
+    """Atomic orbax save of a TrainState (+ Options JSON + metadata).
+
+    ``block=False`` returns as soon as the on-device state is snapshotted
+    and lets orbax write to disk in the background, overlapping the next
+    epoch's training (reference saves synchronously each epoch,
+    train_animating.py:243-263). Call :func:`wait_for_checkpoints` (or the
+    next blocking save) before reading the checkpoint back.
+
+    meta.json is only written once the orbax commit for THIS save is
+    durable (a waiter thread for async saves): writing it eagerly would let
+    a crash pair epoch-E meta with still-epoch-(E-1) data, and --resume
+    would then silently skip an epoch."""
+    import threading
+
+    path = os.path.abspath(path)
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # serialize with any still-pending save
+    # older meta writers must land before a newer save starts, or a slow
+    # thread could overwrite a newer meta with a stale epoch
+    while _PENDING_META:
+        _PENDING_META.pop().join()
+    ckptr.save(path, state, force=True)
+    meta = {"opts": json.loads(opt.to_json()), "epoch": epoch}
+    if extra:
+        meta.update(extra)
+    if block:
+        ckptr.wait_until_finished()
+        _write_meta(path, meta)
+    else:
+        t = threading.Thread(
+            target=lambda: (ckptr.wait_until_finished(),
+                            _write_meta(path, meta)))
+        t.start()
+        _PENDING_META.append(t)
+
+
 def wait_for_checkpoints():
-    """Block until all pending async saves are durable on disk."""
+    """Block until all pending async saves (data AND meta) are durable."""
     if _CKPTR is not None:
         _CKPTR.wait_until_finished()
+    while _PENDING_META:
+        _PENDING_META.pop().join()
 
 
 def restore_native(path: str, abstract_state):

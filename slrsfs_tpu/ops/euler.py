@@ -256,7 +256,7 @@ def euler_integrate_phased(motion: Array, t_fwd, t_bwd, n_steps: int
     scan first advects forward for t_fwd steps, latches the forward
     displacement, resets to the source grid, then advects backward for
     t_bwd steps — HALVING the gather rows of
-    :func:`euler_integrate_select_dual` (which tracks both directions
+    :func:`euler_integrate_all_dual` (which tracks both directions
     simultaneously). Results are identical.
 
     motion: (H, W, 2); t_fwd/t_bwd int32 scalars with t_fwd + t_bwd <=
