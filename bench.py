@@ -222,6 +222,34 @@ def main():
     extra("slr_v2_fps", "SLR v2 (sparse per-frame max-warp-norm)",
           run_slr_v2_thunk)
 
+    # training throughput (reference shipped shape B=16 W=256); labeled
+    # fields only — budget-guarded like every extra
+    left = budget_s - (time.perf_counter() - t_start)
+    if left >= 300:
+        try:
+            from slrsfs_tpu.engine.trainer import Trainer
+            from slrsfs_tpu.models.baseline import BaselineTrainable
+            from tools.train_bench import make_batch, time_step
+
+            topt = Options(W=256, batch_size=16)
+            tmodel = BaselineTrainable(topt, train_max_steps=60)
+            trainer = Trainer(topt, tmodel, steps_per_epoch=500)
+            tb = make_batch(np.random.default_rng(1), 16, 256)
+            tstate = trainer.init_state(jax.random.PRNGKey(0), tb)
+            tstep = jax.jit(trainer.make_train_step(), donate_argnums=(0,))
+            best, tc = time_step(trainer, tstep, tstate, tb, runs=2)
+            extras["train_step_s"] = round(best, 3)
+            extras["train_samples_per_s"] = round(16 / best, 2)
+            print(f"# train step B16 W256: {best*1000:.0f}ms "
+                  f"({16/best:.1f} samples/s, compile {tc:.0f}s)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# FAIL train_step: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    else:
+        print(f"# SKIP train_step: time budget exhausted ({left:.0f}s left)",
+              file=sys.stderr)
+
     emit(extras)
 
 

@@ -66,7 +66,8 @@ class SceneRenderer:
     def __init__(self, ckpt: str = None, W: int = 256, n_frames: int = 60,
                  dtype: str = "float32", decode_batch: int = 60,
                  seed: int = 0, motion_ckpt: str = None,
-                 opt_overrides: dict = None, shard_frames: bool = False):
+                 opt_overrides: dict = None, shard_frames: bool = False,
+                 sparsify_eps: float = 0.0):
         from concurrent.futures import ThreadPoolExecutor
 
         from slrsfs_tpu.config import Options
@@ -94,6 +95,11 @@ class SceneRenderer:
         while n_frames % db:
             db -= 1
         self.decode_batch = db
+        # opt-in sparsifier: zero sub-threshold motion so estimated (dense)
+        # GT flows ride the sparse fast path. A zeroed pixel with speed s
+        # drifts <= N*s px over the rollout, so eps = 0.5/N bounds the
+        # position error of every zeroed pixel at half a pixel.
+        self.sparsify_eps = sparsify_eps
 
         self.regressor = self.m_vars = None
         if motion_ckpt:
@@ -145,36 +151,51 @@ class SceneRenderer:
                 slr_rollout_sparse,
             )
 
+            def to_u8(outs):
+                """On-device uint8 quantization of every output: the PNG
+                writer wants uint8 anyway, and device→host transfer is the
+                sweep's bandwidth tax (4x fewer bytes than f32 — the axon
+                tunnel moves ~20-40 MB/s, a real host's PCIe also thanks
+                us). [-1,1] Img keys → [0,255]; alpha maps → [0,255]."""
+                q = {}
+                for k, v in outs.items():
+                    v = v.astype(jnp.float32)
+                    v = (v * 0.5 + 0.5) if "Img" in k else v
+                    q[k] = (jnp.clip(v, 0.0, 1.0) * 255.0 + 0.5).astype(
+                        jnp.uint8)
+                return q
+
             if self.mesh is not None:
                 mesh = self.mesh
                 if self.slr:
-                    fn = jax.jit(lambda v, i, f, p, va, rg:
-                                 slr_rollout_frame_sharded(
-                                     self.model, v, i, f, self.n_frames, p,
-                                     va, mesh,
-                                     compute_dtype=self.compute_dtype,
-                                     splat_dtype=self.splat_dtype,
-                                     alpha_region=rg if has_region else None))
+                    fn = jax.jit(lambda v, i, f, p, va, rg: to_u8(
+                        slr_rollout_frame_sharded(
+                            self.model, v, i, f, self.n_frames, p,
+                            va, mesh,
+                            compute_dtype=self.compute_dtype,
+                            splat_dtype=self.splat_dtype,
+                            alpha_region=rg if has_region else None)))
                 else:
-                    fn = jax.jit(lambda v, i, f, p, va, rg: {
+                    fn = jax.jit(lambda v, i, f, p, va, rg: to_u8({
                         "PredImg": baseline_rollout_frame_sharded(
                             self.model, v, i, f, self.n_frames, p, va,
                             mesh, compute_dtype=self.compute_dtype,
-                            splat_dtype=self.splat_dtype)})
+                            splat_dtype=self.splat_dtype)}))
             elif self.slr:
-                fn = jax.jit(lambda v, i, f, p, va, rg: slr_rollout_sparse(
-                    self.model, v, i, f, self.n_frames, p, va,
-                    decode_batch=self.decode_batch,
-                    compute_dtype=self.compute_dtype,
-                    splat_dtype=self.splat_dtype,
-                    alpha_region=rg if has_region else None))
+                fn = jax.jit(lambda v, i, f, p, va, rg: to_u8(
+                    slr_rollout_sparse(
+                        self.model, v, i, f, self.n_frames, p, va,
+                        decode_batch=self.decode_batch,
+                        compute_dtype=self.compute_dtype,
+                        splat_dtype=self.splat_dtype,
+                        alpha_region=rg if has_region else None)))
             else:
-                fn = jax.jit(lambda v, i, f, p, va, rg: {
+                fn = jax.jit(lambda v, i, f, p, va, rg: to_u8({
                     "PredImg": baseline_rollout_sparse(
                         self.model, v, i, f, self.n_frames, p, va,
                         decode_batch=self.decode_batch,
                         compute_dtype=self.compute_dtype,
-                        splat_dtype=self.splat_dtype)})
+                        splat_dtype=self.splat_dtype)}))
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
@@ -225,6 +246,16 @@ class SceneRenderer:
                 align = json.load(f)
             if name in align:
                 flow = flow * (align[name] / float(n_frames))
+        if self.sparsify_eps > 0.0:
+            speed = np.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+            sub = speed < self.sparsify_eps
+            zeroed = sub & (speed > 0)
+            if zeroed.any():
+                print(f"sparsify eps={self.sparsify_eps:g}: zeroed "
+                      f"{zeroed.mean():.1%} of pixels (max trajectory drift "
+                      f"{speed[zeroed].max() * n_frames:.2f}px over "
+                      f"{n_frames} frames)")
+            flow = np.where(sub[..., None], 0.0, flow).astype(np.float32)
         positions, valid = prepare_scene_sparse(flow)
 
         region = jnp.zeros((1, W, W, 1), jnp.float32)
@@ -232,6 +263,23 @@ class SceneRenderer:
             r = Image.open(alpha_region_path).convert("L").resize((W, W))
             region = jnp.asarray(
                 np.asarray(r, np.float32)[None, ..., None] / 255.0)
+
+        if getattr(self, "profile_stages", False) and not self.slr \
+                and self.mesh is None:
+            # reference DEBUG_TIME stage meters for the fused rollout
+            # (prefix-difference programs; engine/stage_profile.py)
+            from slrsfs_tpu.engine.stage_profile import (
+                format_stages, profile_baseline_stages,
+            )
+
+            st = profile_baseline_stages(
+                self.model, variables, img, jnp.asarray(flow),
+                jnp.asarray(positions), jnp.asarray(valid), n_frames,
+                decode_batch=self.decode_batch,
+                compute_dtype=self.compute_dtype,
+                splat_dtype=self.splat_dtype)
+            print(f"[profile {name}] {format_stages(st)}")
+            self.profile_stages = False  # once per process is plenty
 
         run = self._rollout(positions.shape[0],
                             has_region=alpha_region_path is not None)
@@ -261,7 +309,7 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
                  dtype: str = "float32", decode_batch: int = 60,
                  alpha_region_path: str = None, seed: int = 0,
                  motion_ckpt: str = None, opt_overrides: dict = None,
-                 shard_frames: bool = False):
+                 shard_frames: bool = False, sparsify_eps: float = 0.0):
     """One-shot render (reference single-scene driver equivalent).
 
     Scene loops should build one :class:`SceneRenderer` and call
@@ -270,7 +318,7 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
     r = SceneRenderer(ckpt=ckpt, W=W, n_frames=n_frames, dtype=dtype,
                       decode_batch=decode_batch, seed=seed,
                       motion_ckpt=motion_ckpt, opt_overrides=opt_overrides,
-                      shard_frames=shard_frames)
+                      shard_frames=shard_frames, sparsify_eps=sparsify_eps)
     out_dir = r.render(image_path, flow_path, save_dir, name=name,
                        speed=speed, align_json=align_json, rawsize=rawsize,
                        rotate=rotate, flow_scale=flow_scale,
@@ -279,29 +327,34 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
     return out_dir
 
 
+def _to_u8_np(fr, key):
+    """Host-side fallback quantization for float outputs (the jitted
+    rollouts already emit uint8 on device)."""
+    if fr.dtype == np.uint8:
+        return fr
+    if "Img" in key:
+        fr = fr * 0.5 + 0.5
+    return (fr.clip(0, 1) * 255 + 0.5).astype(np.uint8)  # round like device
+
+
 def _save_outputs(outs, out_dir, name, out_w, out_h):
     import cv2
 
     for key, arr in outs.items():
         arr = np.asarray(arr)
         if arr.ndim == 3:  # e.g. BGImg: single image
-            im = ((arr * 0.5 + 0.5).clip(0, 1) * 255).astype(np.uint8)
-            im = cv2.resize(im, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
+            im = cv2.resize(_to_u8_np(arr, key), (out_w, out_h),
+                            interpolation=cv2.INTER_LINEAR)
             cv2.imwrite(os.path.join(out_dir, f"{key}.png"),
                         cv2.cvtColor(im, cv2.COLOR_RGB2BGR))
             continue
         kdir = os.path.join(out_dir, key)
         os.makedirs(kdir, exist_ok=True)
         for t in range(arr.shape[0]):
-            fr = arr[t]
-            if "Img" in key:
-                fr = (fr * 0.5 + 0.5).clip(0, 1)
-            else:  # alpha maps
-                fr = fr.clip(0, 1)
-                if fr.shape[-1] == 1:
-                    fr = np.repeat(fr, 3, -1)
-            im = (fr * 255).astype(np.uint8)
-            im = cv2.resize(im, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
+            fr = _to_u8_np(arr[t], key)
+            if fr.shape[-1] == 1:  # alpha maps
+                fr = np.repeat(fr, 3, -1)
+            im = cv2.resize(fr, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
             cv2.imwrite(os.path.join(kdir, f"{t:06d}.png"),
                         cv2.cvtColor(im, cv2.COLOR_RGB2BGR))
         mp4 = os.path.join(out_dir, f"{key}_{name}.mp4")
@@ -346,13 +399,26 @@ def main(argv=None):
                    help="shard the frame axis over all visible chips "
                         "(multi-chip inference; n-frames must divide the "
                         "device count)")
+    p.add_argument("--sparsify-eps", type=float, default=0.0,
+                   help="zero motion below this speed so dense estimated "
+                        "flows ride the sparse fast path; eps = 0.5/N "
+                        "bounds every zeroed pixel's trajectory drift at "
+                        "half a pixel (tools/scene_stats.py measures "
+                        "per-scene impact)")
+    p.add_argument("--profile-stages", action="store_true",
+                   help="print reference-style per-stage timings (t_encoder/"
+                        "t_euler_integration/t_softmax_splating/t_decoder) "
+                        "for this scene's shape; costs extra compiles")
     a = p.parse_args(argv)
-    out = render_scene(
-        a.image, a.flow, a.save_dir, ckpt=a.ckpt, name=a.name, W=a.W,
-        n_frames=a.n_frames, speed=a.speed, align_json=a.align,
-        rawsize=a.rawsize, rotate=a.rotate, flow_scale=a.flow_scale,
-        dtype=a.dtype, alpha_region_path=a.alpha_region,
-        motion_ckpt=a.motion_ckpt, shard_frames=a.shard_frames)
+    r = SceneRenderer(ckpt=a.ckpt, W=a.W, n_frames=a.n_frames, dtype=a.dtype,
+                      motion_ckpt=a.motion_ckpt,
+                      shard_frames=a.shard_frames,
+                      sparsify_eps=a.sparsify_eps)
+    r.profile_stages = a.profile_stages
+    out = r.render(a.image, a.flow, a.save_dir, name=a.name, speed=a.speed,
+                   align_json=a.align, rawsize=a.rawsize, rotate=a.rotate,
+                   flow_scale=a.flow_scale, alpha_region_path=a.alpha_region)
+    r.finish()
     print(f"rendered to {out}")
 
 

@@ -30,7 +30,7 @@ def main(argv=None):
     p.add_argument("--align", default="None")
     p.add_argument("--rawsize", action="store_true")
     p.add_argument("--dtype", default="bfloat16",
-                   choices=["float32", "bfloat16"])
+                   choices=["float32", "bfloat16", "bfloat16-fast"])
     p.add_argument("--start", type=int, default=0,
                    help="scene index range start (multi-job sharding)")
     p.add_argument("--end", type=int, default=-1)
@@ -38,6 +38,8 @@ def main(argv=None):
                    help="motion file suffix paired with _input.jpg")
     p.add_argument("--shard-frames", action="store_true",
                    help="shard the frame axis over all visible chips")
+    p.add_argument("--sparsify-eps", type=float, default=0.0,
+                   help="zero motion below this speed (see cli.render)")
     a = p.parse_args(argv)
 
     from slrsfs_tpu.cli.render import SceneRenderer
@@ -50,7 +52,8 @@ def main(argv=None):
     # rollout shape bucket compiles once; PNG/mp4 saving overlaps the next
     # scene's device work on a background thread
     renderer = SceneRenderer(ckpt=a.ckpt, W=a.W, n_frames=a.n_frames,
-                             dtype=a.dtype, shard_frames=a.shard_frames)
+                             dtype=a.dtype, shard_frames=a.shard_frames,
+                             sparsify_eps=a.sparsify_eps)
     done, skipped = 0, []
     for img_path in inputs:
         name = os.path.basename(img_path)[: -len("_input.jpg")]

@@ -55,6 +55,41 @@ def _to_device_batch(batch):
     return out
 
 
+def attach_moving_sets(batch, max_frac: float = 0.5):
+    """Host-side moving-pixel sets for the compact training integration
+    (models/baseline.py:train_integrate).
+
+    Adds ``mov_pos`` (B, P, 2) int32 [x, y] / ``mov_valid`` (B, P) float32
+    with P a power-of-two bucket (so the jitted step recompiles at most
+    log2 times, not per batch). Returns the batch unchanged when the
+    largest sample's moving fraction exceeds ``max_frac`` — there the
+    dense phased scan is no slower and needs no scatter-back."""
+    m = np.asarray(batch["motions"])
+    flow = m[..., :2] * m[..., 2:3] if m.shape[-1] == 3 else m  # uv·m fold
+    moving = np.any(flow != 0.0, axis=-1)  # (B, H, W)
+    B, H, W = moving.shape
+    counts = moving.reshape(B, -1).sum(1)
+    need = int(counts.max())
+    if need > max_frac * H * W:
+        return batch
+    P = 1024
+    while P < need:
+        P *= 2
+    P = min(P, H * W)
+    pos = np.zeros((B, P, 2), np.int32)
+    val = np.zeros((B, P), np.float32)
+    for b in range(B):
+        ys, xs = np.nonzero(moving[b])
+        n = len(xs)
+        pos[b, :n, 0] = xs
+        pos[b, :n, 1] = ys
+        val[b, :n] = 1.0
+    out = dict(batch)
+    out["mov_pos"] = pos
+    out["mov_valid"] = val
+    return out
+
+
 def build(opt, slr: bool, embed_motion: bool = False,
           train_max_steps: int = 60):
     from slrsfs_tpu.engine.trainer import Trainer
@@ -146,6 +181,12 @@ def main(argv=None):
                         "reference's literal loss/weight quirk (each micro "
                         "loss x num_steps, grads summed = accum^2 x mean; "
                         "base_model.py:106,129-133)")
+    p.add_argument("--train-sparse-motion", choices=["auto", "off"],
+                   default="auto",
+                   help="integrate only each sample's moving pixels in the "
+                        "training pass (exact for exact-zero static motion; "
+                        "auto falls back to the dense scan per batch when "
+                        ">50%% of pixels move)")
     p.add_argument("--train-max-steps", type=int, default=60,
                    help="static bound on per-sample Euler integration steps; "
                         "must be >= the sampled end-start+1 span (= clip "
@@ -339,11 +380,22 @@ def main(argv=None):
                          donate_argnums=(0,))
     eval_step = jax.jit(trainer.make_eval_step())
 
+    # compact moving-set integration applies when the splat flow comes
+    # from the dataset (GT motion with exact zeros); predicted-motion and
+    # non-fluid stages integrate dense fields or not at all
+    sparse_motion = (a.train_sparse_motion != "off"
+                     and a.model_type in
+                     ("softmax_splating",
+                      "softmax_splating_2layers_alpha_seperate")
+                     and not a.embed_motion)
+
     def _micro_batches(it):
         """Group the stream into accum-sized micro-batch lists (reference
         num_accumulations loop, base_model.py:95-163)."""
         group = []
         for b in it:
+            if sparse_motion:
+                b = attach_moving_sets(b)
             group.append(_to_device_batch(b))
             if len(group) == accum:
                 yield group if accum > 1 else group[0]

@@ -126,6 +126,27 @@ def fold_uvm(motion: Array) -> Array:
     return motion
 
 
+def train_integrate(batch, flow, tf_c, tp_c, T: int):
+    """vmapped phase-switched training integration; rides the compact
+    moving-set scan when the batch carries ``mov_pos`` (B, P, 2) int32 /
+    ``mov_valid`` (B, P) (host-side bucketed moving sets, cli/train.py) —
+    P sequential-gather rows per step instead of H·W, exact under the
+    zero-motion invariant."""
+    from slrsfs_tpu.ops import (
+        euler_integrate_phased,
+        euler_integrate_phased_compact,
+    )
+
+    if "mov_pos" in batch:
+        return jax.vmap(
+            lambda m, p, v, tf, tp: euler_integrate_phased_compact(
+                m, p, v, tf, tp, T)
+        )(flow, batch["mov_pos"], batch["mov_valid"], tf_c, tp_c)
+    return jax.vmap(
+        lambda m, tf, tp: euler_integrate_phased(m, tf, tp, T)
+    )(flow, tf_c, tp_c)
+
+
 class BaselineTrainable(BaselineModel):
     """Adds the (start, middle, end) training pass (reference
     ``AnimatingSoftmaxSplating.forward``, animating_softmax_splating.py:445-775).
@@ -165,9 +186,7 @@ class BaselineTrainable(BaselineModel):
         # the shipped T=60 bounds the dataset contract exactly)
         tf_c = jnp.clip(t_f, 0, T)
         tp_c = jnp.clip(t_p, 0, T - tf_c)
-        flow_f, flow_p = jax.vmap(
-            lambda m, tf, tp: euler_integrate_phased(m, tf, tp, T)
-        )(flow, tf_c, tp_c)
+        flow_f, flow_p = train_integrate(batch, flow, tf_c, tp_c, T)
 
         alpha = (
             1.0
@@ -233,6 +252,10 @@ class BaselineMotionTrainable(BaselineTrainable):
             pred_scaled.dtype)
         batch = dict(batch)
         batch["motions"] = pred_scaled * scale
+        # predicted motion is dense — the GT-derived moving set no longer
+        # bounds the trajectories, so force the dense integration path
+        batch.pop("mov_pos", None)
+        batch.pop("mov_valid", None)
         gen_img, pred = super().forward_train(batch, train, deterministic)
         pred["PredMotion"] = pred_scaled
         pred["GTMotionRaw"] = gt_motion

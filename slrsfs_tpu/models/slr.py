@@ -390,9 +390,9 @@ class SLRTrainable(SLRModel):
         # the shipped T=60 bounds the dataset contract exactly)
         tf_c = jnp.clip(t_f, 0, T)
         tp_c = jnp.clip(t_p, 0, T - tf_c)
-        flow_f, flow_p = jax.vmap(
-            lambda m, tf, tp: euler_integrate_phased(m, tf, tp, T)
-        )(flow, tf_c, tp_c)
+        from slrsfs_tpu.models.baseline import train_integrate
+
+        flow_f, flow_p = train_integrate(batch, flow, tf_c, tp_c, T)
 
         alpha = jnp.clip(
             1.0

@@ -13,6 +13,7 @@ from slrsfs_tpu.ops.euler import (
     euler_integrate_compact_dual,
     euler_integrate_all_dual,
     euler_integrate_phased,
+    euler_integrate_phased_compact,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "euler_integrate_compact_dual",
     "euler_integrate_all_dual",
     "euler_integrate_phased",
+    "euler_integrate_phased_compact",
 ]

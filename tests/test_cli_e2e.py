@@ -105,3 +105,38 @@ def test_train_cli_one_epoch(fixture_root, tmp_path):
     with open(os.path.join(out, "ckpt.meta.json")) as f:
         meta = json.load(f)
     assert meta["epoch"] == 1  # continued from epoch 0, not restarted
+
+
+def test_scene_stats_and_sparsify_eps():
+    """tools/scene_stats measures moving fractions + drift bound; the render
+    CLI's --sparsify-eps zeroes sub-threshold motion with the documented
+    half-pixel bound at eps = 0.5/N."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scene_stats", os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "scene_stats.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.default_rng(0)
+    flow = rng.standard_normal((32, 32, 2)).astype(np.float32) * 0.001
+    flow[:8] = 0.0          # exact-zero block
+    flow[16:] *= 1000.0     # fast block
+    s = mod.scene_stats(flow, [0.01], n_frames=60)
+    assert s["exact_zero_moving_frac"] == 0.75
+    # eps = 0.5/60: the slow mid block (speeds ~1e-3) falls below it
+    assert s["moving_frac_at_recommended"] < 0.75
+    assert s["max_drift_px_if_zeroed"] <= 0.5 + 1e-6
+
+    # the sparsifier math used by cli.render: zeroing below eps keeps all
+    # zeroed pixels within eps*N = 0.5 px of their true trajectory end
+    eps = 0.5 / 60
+    speed = np.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+    sparsified = np.where((speed < eps)[..., None], 0.0, flow)
+    zeroed = (speed > 0) & (speed < eps)
+    assert zeroed.any()
+    assert float(speed[zeroed].max()) * 60 <= 0.5
+    moving_before = float((speed > 0).mean())
+    moving_after = float((np.abs(sparsified).sum(-1) > 0).mean())
+    assert moving_after < moving_before

@@ -122,3 +122,38 @@ def test_euler_phased_matches_stack_select():
             np.asarray(got_f), np.asarray(stack_f[tf]), err_msg=f"f{tf},{tp}")
         np.testing.assert_array_equal(
             np.asarray(got_p), np.asarray(stack_p[tp]), err_msg=f"p{tf},{tp}")
+
+
+def test_euler_phased_compact_matches_dense():
+    """euler_integrate_phased_compact == euler_integrate_phased on the full
+    grid when the tracked set is exactly the nonzero-motion pixels —
+    including OOB trajectories, padded rows, and the t=0 edges."""
+    from slrsfs_tpu.ops import (
+        euler_integrate_phased,
+        euler_integrate_phased_compact,
+    )
+
+    rng = np.random.default_rng(9)
+    H, W, T = 16, 18, 9
+    motion = (rng.standard_normal((H, W, 2)) * 1.5).astype(np.float32)
+    motion[:5] = 0.0
+    motion[-2:, :, 0] = 20.0  # OOB trajectories
+
+    moving = np.any(motion != 0.0, axis=-1)
+    ys, xs = np.nonzero(moving)
+    P = 256  # padded capacity (> count)
+    pos = np.zeros((P, 2), np.int32)
+    val = np.zeros((P,), np.float32)
+    pos[: len(xs), 0] = xs
+    pos[: len(xs), 1] = ys
+    val[: len(xs)] = 1.0
+
+    for tf, tp in ((0, 3), (5, 0), (4, 5), (0, T), (T, 0), (2, 7)):
+        want_f, want_p = euler_integrate_phased(jnp.asarray(motion), tf, tp, T)
+        got_f, got_p = euler_integrate_phased_compact(
+            jnp.asarray(motion), jnp.asarray(pos), jnp.asarray(val),
+            tf, tp, T)
+        np.testing.assert_array_equal(
+            np.asarray(got_f), np.asarray(want_f), err_msg=f"f{tf},{tp}")
+        np.testing.assert_array_equal(
+            np.asarray(got_p), np.asarray(want_p), err_msg=f"p{tf},{tp}")
