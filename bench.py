@@ -99,12 +99,17 @@ def main():
     model = BaselineModel(opt)
     img, flow, positions, valid = _scene(rng, H, W, moving_frac=0.5)
 
+    # init/settle at 64² — parameter shapes are resolution-independent and
+    # the full-res init graph is the single most expensive compile in the
+    # process (the round-2 "SLR 249 s compile" was this, not the rollout)
+    img_init = jnp.asarray(rng.standard_normal((1, 64, 64, 3)) * 0.25,
+                           jnp.float32)
     variables = jit_init(
         model,
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        img, False, True,
+        img_init, False, True,
     )
-    variables = settle(model, variables, (img,), n=6)
+    variables = settle(model, variables, (img_init,), n=6)
 
     def make_run(v, i, f, p, va, dtype, n=N, db=DECODE_BATCH, sd=None):
         run = jax.jit(lambda v_, i_, f_, p_, va_: baseline_rollout_sparse(
@@ -171,10 +176,13 @@ def main():
     extra("f32_fps", "f32",
           make_run(variables, img, flow, positions, valid, jnp.float32))
 
-    # rawsize W=768 (CLAW eval protocol resolution), bf16
+    # rawsize W=768 (CLAW eval protocol resolution), bf16. decode_batch 15:
+    # decode cost falls steeply with chunk size at this shape (2169 ms of
+    # decode at db=5 vs 1287 at db=15, the plateau — round-3 stage
+    # profile); the fused splat+decode chunking keeps it inside HBM.
     img4, flow4, pos4, val4 = _scene(rng, 768, 768, moving_frac=0.5)
     extra("rawsize768_fps", "rawsize 768x768",
-          make_run(variables, img4, flow4, pos4, val4, jnp.bfloat16, db=5,
+          make_run(variables, img4, flow4, pos4, val4, jnp.bfloat16, db=15,
                    sd=jnp.bfloat16))
 
     # SLR two-layer model, bf16. Init (its ~100 s compile included) is lazy
@@ -188,10 +196,10 @@ def main():
                 slr,
                 {"params": jax.random.PRNGKey(2),
                  "noise": jax.random.PRNGKey(3)},
-                img, False, True,
+                img_init, False, True,
             )
             slr_state["slr"] = slr
-            slr_state["vars"] = settle(slr, v, (img,), n=2)
+            slr_state["vars"] = settle(slr, v, (img_init,), n=2)
         return slr_state["slr"], slr_state["vars"]
 
     def run_slr_thunk():

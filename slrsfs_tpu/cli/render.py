@@ -132,12 +132,19 @@ class SceneRenderer:
         if self.variables is None:
             from slrsfs_tpu.engine.init_utils import jit_init, settle
 
+            # init/settle at 64² regardless of render size: parameter
+            # shapes are resolution-independent and the full-res init graph
+            # compiles for minutes (at 768² it wedged the remote compile
+            # service for 20+ min — GAPS.md)
+            small = jax.random.normal(
+                jax.random.PRNGKey(self.seed + 2), (1, 64, 64, 3),
+                jnp.float32) * 0.25
             v = jit_init(
                 self.model,
                 {"params": jax.random.PRNGKey(self.seed),
-                 "noise": jax.random.PRNGKey(self.seed + 1)}, img, False,
+                 "noise": jax.random.PRNGKey(self.seed + 1)}, small, False,
                 True)
-            self.variables = settle(self.model, v, (img,), n=6)
+            self.variables = settle(self.model, v, (small,), n=6)
         return self.variables
 
     def _rollout(self, P: int, has_region: bool):

@@ -268,14 +268,17 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
         norm = jnp.maximum(g[..., -1:], 1e-8)
         return None, (g[..., :-1] / norm).astype(compute_dtype)
 
-    _, gen_fs = jax.lax.scan(frame, None, jnp.arange(N))  # (N, H, W, C)
+    # fused chunking: splat decode_batch frames (inner scan), decode them,
+    # next chunk — the full (N, H, W, C) warped stack (4.5 GB at 768²
+    # bf16) never materializes, which is what allowed decode_batch ≥ 20 at
+    # 768² (db=20 OOMed with the two-phase stack: 18.5 G needed of 15.75 G)
+    def chunk_body(_, tc):
+        _, gen_chunk = jax.lax.scan(frame, None, tc)  # (db, H, W, C)
+        return None, model.apply(variables, gen_chunk, method="decode")
 
-    def decode_chunk(_, chunk):
-        out = model.apply(variables, chunk, method="decode")
-        return None, out
-
-    chunks = gen_fs.reshape(N // decode_batch, decode_batch, H, W, gen_fs.shape[-1])
-    _, frames = jax.lax.scan(decode_chunk, None, chunks)
+    _, frames = jax.lax.scan(
+        chunk_body, None, jnp.arange(N).reshape(N // decode_batch,
+                                                decode_batch))
     return frames.reshape(N, H, W, 3).astype(jnp.float32)
 
 
@@ -453,37 +456,59 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
         return None, (gen_fs[0].astype(compute_dtype),
                       af_warped[0].astype(compute_dtype))
 
-    _, (gen_fs, af_warped) = jax.lax.scan(frame, None, jnp.arange(N))
-
     region = None
     if alpha_region is not None:
         region = gaussian_blur_region(alpha_region.astype(jnp.float32), W)
 
-    return _slr_decode_stack(model, variables, gen_fs, af_warped, img,
-                             a_bg_sig, a_bg_logits, bg_tanh, region, opt,
-                             decode_batch)
+    # fused chunking (see baseline_rollout_sparse): splat db frames, decode
+    # them, next chunk — no full warped stack in HBM
+    img_b = jnp.broadcast_to(img, (decode_batch,) + img.shape[1:])
+
+    def chunk_body(_, tc):
+        _, (cf, ca) = jax.lax.scan(frame, None, tc)
+        return None, _slr_decode_chunk(model, variables, cf, ca, img_b,
+                                       a_bg_sig, a_bg_logits, bg_tanh,
+                                       region, opt)
+
+    _, (gen, fluid, comp_alpha) = jax.lax.scan(
+        chunk_body, None, jnp.arange(N).reshape(N // decode_batch,
+                                                decode_batch))
+    return {
+        "PredImg": gen.reshape(N, H, W, 3),
+        "FluidImg": fluid.reshape(N, H, W, 3),
+        "CompositeFluidAlpha": comp_alpha.reshape(N, H, W, 1),
+        "BGImg": bg_tanh[0],
+    }
+
+
+def _slr_decode_chunk(model, variables, cf, ca, img_b, a_bg_sig,
+                      a_bg_logits, bg_tanh, region, opt):
+    """Fluid+alpha decode and composite of one (db, H, W, C) chunk."""
+    fluid = model.apply(variables, cf, method="decode_fluid")
+    ga_logits = model.apply(variables, cf, ca, method="decode_alpha",
+                            img=img_b)
+    ga = jax.nn.sigmoid(ga_logits.astype(jnp.float32))
+    gen, comp_alpha = slr_composite(
+        fluid.astype(jnp.float32), ga, a_bg_sig, bg_tanh,
+        alpha_region=region, opt=opt,
+        ga_raw=ga_logits.astype(jnp.float32),
+        a_bg_raw=a_bg_logits.astype(jnp.float32),
+    )
+    return gen, fluid.astype(jnp.float32), comp_alpha
 
 
 def _slr_decode_stack(model, variables, gen_fs_all, af_all, img, a_bg_sig,
                       a_bg_logits, bg_tanh, region, opt, decode_batch):
     """Batched fluid+alpha decode and composite of a stacked (N, H, W, C)
-    warped-feature rollout; shared by the sparse and dense SLR paths."""
+    warped-feature rollout (dense SLR path)."""
     N, H, W = gen_fs_all.shape[:3]
     img_b = jnp.broadcast_to(img, (decode_batch,) + img.shape[1:])
 
     def decode_chunk(_, chunk):
         cf, ca = chunk
-        fluid = model.apply(variables, cf, method="decode_fluid")
-        ga_logits = model.apply(variables, cf, ca, method="decode_alpha",
-                                img=img_b)
-        ga = jax.nn.sigmoid(ga_logits.astype(jnp.float32))
-        gen, comp_alpha = slr_composite(
-            fluid.astype(jnp.float32), ga, a_bg_sig, bg_tanh,
-            alpha_region=region, opt=opt,
-            ga_raw=ga_logits.astype(jnp.float32),
-            a_bg_raw=a_bg_logits.astype(jnp.float32),
-        )
-        return None, (gen, fluid.astype(jnp.float32), comp_alpha)
+        return None, _slr_decode_chunk(model, variables, cf, ca, img_b,
+                                       a_bg_sig, a_bg_logits, bg_tanh,
+                                       region, opt)
 
     nb = N // decode_batch
     chunks = (

@@ -115,14 +115,32 @@ def profile_baseline_stages(model, variables, img, flow, positions, valid,
 
     @jax.jit
     def f_full(v, i, f, p, va):
-        gen_fs = splat_stack(v, i, f, p, va)
+        # mirror the real rollout's FUSED chunking (engine/rollout.py):
+        # splat decode_batch frames, decode them, next chunk
+        fs, z = model.apply(v, i, method="encode")
+        z = z_for_splat(opt, fs, z)
+        moving_mask = jnp.zeros((H, W), jnp.float32).at[
+            positions[:, 1], positions[:, 0]].max(va)
+        pack = _baseline_pack_fn(opt, fs, z, positions, va,
+                                 1.0 - moving_mask, sdt)
+        disp_f, disp_p = euler_integrate_compact_dual(f, positions, N - 1, N)
 
-        def dec(_, chunk):
-            return None, model.apply(v, chunk, method="decode")
+        def frame(_, t):
+            alpha = 1.0 - t.astype(jnp.float32) / N
+            u_static_t, u_mov_t = pack(disp_f[t])
+            g = (softsplat_sum_at_quad_dual(
+                u_mov_t, positions, disp_f[t], disp_p[N - t],
+                alpha, 1.0 - alpha, H, W) + u_static_t).astype(jnp.float32)
+            norm = jnp.maximum(g[..., -1:], 1e-8)
+            return None, (g[..., :-1] / norm).astype(compute_dtype)
 
-        chunks = gen_fs.reshape(N // decode_batch, decode_batch, H, W,
-                                gen_fs.shape[-1])
-        _, frames = jax.lax.scan(dec, None, chunks)
+        def chunk_body(_, tc):
+            _, gen_chunk = jax.lax.scan(frame, None, tc)
+            return None, model.apply(v, gen_chunk, method="decode")
+
+        _, frames = jax.lax.scan(
+            chunk_body, None,
+            jnp.arange(N).reshape(N // decode_batch, decode_batch))
         return jnp.sum(frames.astype(jnp.float32))
 
     t_enc, c1 = _best(f_encode, (variables, img), runs)

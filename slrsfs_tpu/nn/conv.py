@@ -160,8 +160,42 @@ def upsample_nearest_2x(x: Array) -> Array:
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
+def _up2_axis(x: Array, axis: int) -> Array:
+    """Bilinear 2x along one axis via the closed-form half-pixel stencil:
+    out[2j] = 0.25·x[j-1] + 0.75·x[j], out[2j+1] = 0.75·x[j] + 0.25·x[j+1]
+    (edges clamped). Elementwise shifts + interleave — no dot_general."""
+    idx_lo = [slice(None)] * x.ndim
+    idx_hi = [slice(None)] * x.ndim
+    idx_first = [slice(None)] * x.ndim
+    idx_last = [slice(None)] * x.ndim
+    idx_lo[axis] = slice(None, -1)
+    idx_hi[axis] = slice(1, None)
+    idx_first[axis] = slice(None, 1)
+    idx_last[axis] = slice(-1, None)
+    xm = jnp.concatenate([x[tuple(idx_first)], x[tuple(idx_lo)]], axis)
+    xp = jnp.concatenate([x[tuple(idx_hi)], x[tuple(idx_last)]], axis)
+    even = 0.25 * xm + 0.75 * x
+    odd = 0.75 * x + 0.25 * xp
+    out = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] *= 2
+    return out.reshape(shape)
+
+
 def upsample_bilinear_2x(x: Array) -> Array:
-    """torch Upsample(scale_factor=2, mode='bilinear', align_corners=False)."""
+    """torch Upsample(scale_factor=2, mode='bilinear', align_corners=False).
+
+    Two equivalent implementations (unit-tested identical to float
+    rounding): jax.image.resize (dot_general lowering) and a separable
+    closed-form stencil (elementwise shifts + interleave). Measured at the
+    768² rollout shape they are within noise for decode_batch <= 15, but
+    the stencil's unfused interleave temps OOM at larger chunks while the
+    resize's transposed dot outputs cost relayout copies — selectable via
+    SLRSFS_STENCIL_UPSAMPLE (default: resize)."""
+    import os
+
+    if os.environ.get("SLRSFS_STENCIL_UPSAMPLE", "0") != "0":
+        return _up2_axis(_up2_axis(x, 1), 2)
     B, H, W, C = x.shape
     return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
 

@@ -123,7 +123,6 @@ class TInceptionI3d(nn.Module):
         return sd
 
 
-@pytest.mark.slow
 def test_i3d_random_weight_parity():
     """Random-weight torch InceptionI3d == flax InceptionI3D through the
     importer, on a [-1,1] video at the standard 224x224 protocol shape."""

@@ -35,8 +35,11 @@ def test_spade_motion_regressor_forward():
     motion = jnp.asarray(_motion_scene(rng, H, W))[None]
     mask = moving_region_mask(motion)
     hint = jnp.zeros((1, H, W, 2), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, img, mask, hint)
-    pred = model.apply(variables, img, mask, hint)
+    # jitted init/apply: eager flax dispatch of the 8-down SPADE UNet costs
+    # ~1 min of per-op overhead on this 1-core host
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, img, mask, hint)
+    pred = jax.jit(model.apply)(variables, img, mask, hint)
     assert pred.shape == (1, H, W, 2)
     assert np.isfinite(np.asarray(pred)).all()
 
@@ -53,8 +56,9 @@ def test_plain_unet_motion():
     img = jnp.asarray(rng.standard_normal((1, H, W, 3)) * 0.25, jnp.float32)
     mask = jnp.ones((1, H, W, 1), jnp.float32)
     hint = jnp.zeros((1, H, W, 2), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, img, mask, hint)
-    pred = model.apply(variables, img, mask, hint)
+    variables = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0)}, img, mask, hint)
+    pred = jax.jit(model.apply)(variables, img, mask, hint)
     assert pred.shape == (1, H, W, 2)
 
 

@@ -192,3 +192,22 @@ def test_additional_arch_tables_construct():
             x, False, True)
         out = dec.apply(variables, x, False, True)
         assert out.shape[-1] == arch["layers_dec"][-1]
+
+
+def test_upsample_bilinear_2x_matches_resize():
+    """The closed-form stencil upsample equals jax.image.resize bilinear
+    (torch align_corners=False semantics) to float rounding."""
+    import jax
+    import jax.numpy as jnp
+
+    from slrsfs_tpu.nn.conv import upsample_bilinear_2x
+
+    rng = np.random.default_rng(4)
+    for shape in ((2, 7, 5, 3), (1, 16, 16, 8), (1, 1, 4, 2)):
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        want = jax.image.resize(
+            x, (shape[0], 2 * shape[1], 2 * shape[2], shape[3]),
+            method="bilinear")
+        got = upsample_bilinear_2x(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)

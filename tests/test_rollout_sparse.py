@@ -15,6 +15,21 @@ from slrsfs_tpu.engine.rollout import (
 from slrsfs_tpu.models.baseline import BaselineModel
 
 
+def _jit_init(model, img):
+    return jax.jit(lambda r, i: model.init(r, i, False, True))(
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img)
+
+
+def _run_dense(model, N):
+    return jax.jit(lambda v, i, f: baseline_rollout(model, v, i, f, N))
+
+
+def _run_sparse(model, N, db, sd=None):
+    return jax.jit(lambda v, i, f, p, va: baseline_rollout_sparse(
+        model, v, i, f, N, p, va, decode_batch=db, splat_dtype=sd))
+
+
 def test_sparse_equals_dense():
     rng = np.random.default_rng(11)
     H = W = 32
@@ -22,22 +37,19 @@ def test_sparse_equals_dense():
     opt = Options(ngf=16, W=W)
     model = BaselineModel(opt)
     img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        img, False, True,
-    )
+    variables = _jit_init(model, img)
     variables = settle(model, variables, (jnp.asarray(img),), n=8)
 
     flow = (rng.standard_normal((H, W, 2)) * 1.2).astype(np.float32)
     flow[: H // 2] = 0.0  # top half static
     flow[:, : W // 4] = 0.0
 
-    dense = baseline_rollout(model, variables, jnp.asarray(img), jnp.asarray(flow), N)
+    dense = _run_dense(model, N)(variables, jnp.asarray(img),
+                                 jnp.asarray(flow))
     positions, valid = prepare_scene_sparse(flow, pad_multiple=64)
-    sparse = baseline_rollout_sparse(
-        model, variables, jnp.asarray(img), jnp.asarray(flow), N,
-        jnp.asarray(positions), jnp.asarray(valid), decode_batch=3,
-    )
+    sparse = _run_sparse(model, N, 3)(
+        variables, jnp.asarray(img), jnp.asarray(flow),
+        jnp.asarray(positions), jnp.asarray(valid))
     np.testing.assert_allclose(
         np.asarray(sparse), np.asarray(dense), rtol=1e-5, atol=1e-5
     )
@@ -53,20 +65,16 @@ def test_fast_bf16_splat_close_to_f32():
     opt = Options(ngf=16, W=W)
     model = BaselineModel(opt)
     img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        img, False, True,
-    )
+    variables = _jit_init(model, img)
     variables = settle(model, variables, (jnp.asarray(img),), n=8)
 
     flow = (rng.standard_normal((H, W, 2)) * 1.2).astype(np.float32)
     flow[: H // 2] = 0.0
     positions, valid = prepare_scene_sparse(flow, pad_multiple=64)
-    args = (model, variables, jnp.asarray(img), jnp.asarray(flow), N,
+    args = (variables, jnp.asarray(img), jnp.asarray(flow),
             jnp.asarray(positions), jnp.asarray(valid))
-    exact = baseline_rollout_sparse(*args, decode_batch=2)
-    fast = baseline_rollout_sparse(*args, decode_batch=2,
-                                   splat_dtype=jnp.bfloat16)
+    exact = _run_sparse(model, N, 2)(*args)
+    fast = _run_sparse(model, N, 2, sd=jnp.bfloat16)(*args)
     assert np.abs(np.asarray(exact) - np.asarray(fast)).max() < 2e-2
 
 
@@ -125,22 +133,18 @@ def test_sparse_equals_dense_v2():
                   use_softmax_splatter=False)
     model = BaselineModel(opt)
     img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        img, False, True,
-    )
+    variables = _jit_init(model, img)
     variables = settle(model, variables, (jnp.asarray(img),), n=8)
 
     flow = (rng.standard_normal((H, W, 2)) * 1.2).astype(np.float32)
     flow[: H // 2] = 0.0
 
-    dense = baseline_rollout(model, variables, jnp.asarray(img),
-                             jnp.asarray(flow), N)
+    dense = _run_dense(model, N)(variables, jnp.asarray(img),
+                                 jnp.asarray(flow))
     positions, valid = prepare_scene_sparse(flow, pad_multiple=64)
-    sparse = baseline_rollout_sparse(
-        model, variables, jnp.asarray(img), jnp.asarray(flow), N,
-        jnp.asarray(positions), jnp.asarray(valid), decode_batch=2,
-    )
+    sparse = _run_sparse(model, N, 2)(
+        variables, jnp.asarray(img), jnp.asarray(flow),
+        jnp.asarray(positions), jnp.asarray(valid))
     np.testing.assert_allclose(
         np.asarray(sparse), np.asarray(dense), rtol=2e-5, atol=2e-5
     )

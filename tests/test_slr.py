@@ -24,11 +24,17 @@ def _opt(**kw):
 
 
 def _init_slr(model, img):
-    variables = model.init(
+    variables = jax.jit(lambda r, i: model.init(r, i, False, True))(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        img, False, True,
+        img,
     )
     return settle(model, variables, (img,), n=8)
+
+
+def _jit_sparse(model, N, db=2):
+    """Jitted sparse rollout (eager dispatch costs ~10 s/test on 1 core)."""
+    return jax.jit(lambda v, i, f, p, va: slr_rollout_sparse(
+        model, v, i, f, N, p, va, decode_batch=db))
 
 
 def test_slr_rollout_shapes_and_composite():
@@ -43,9 +49,9 @@ def test_slr_rollout_shapes_and_composite():
     flow = (rng.standard_normal((H, W, 2)) * 1.0).astype(np.float32)
     flow[: H // 2] = 0.0
     pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
-    out = slr_rollout_sparse(
-        model, variables, jnp.asarray(img), jnp.asarray(flow), N,
-        jnp.asarray(pos), jnp.asarray(valid), decode_batch=2,
+    out = _jit_sparse(model, N)(
+        variables, jnp.asarray(img), jnp.asarray(flow),
+        jnp.asarray(pos), jnp.asarray(valid),
     )
     assert out["PredImg"].shape == (N, H, W, 3)
     assert out["FluidImg"].shape == (N, H, W, 3)
@@ -119,11 +125,11 @@ def test_slr_dense_matches_sparse_and_v2_runs():
 
     from slrsfs_tpu.engine.rollout import slr_rollout_dense
 
-    sparse = slr_rollout_sparse(
-        model, variables, jnp.asarray(img), jnp.asarray(flow), N,
-        jnp.asarray(pos), jnp.asarray(valid), decode_batch=2)
-    dense = slr_rollout_dense(
-        model, variables, jnp.asarray(img), jnp.asarray(flow), N)
+    sparse = _jit_sparse(model, N)(
+        variables, jnp.asarray(img), jnp.asarray(flow),
+        jnp.asarray(pos), jnp.asarray(valid))
+    dense = jax.jit(lambda v, i, f: slr_rollout_dense(model, v, i, f, N))(
+        variables, jnp.asarray(img), jnp.asarray(flow))
     np.testing.assert_allclose(np.asarray(sparse["PredImg"]),
                                np.asarray(dense["PredImg"]),
                                rtol=1e-5, atol=1e-5)
@@ -132,11 +138,11 @@ def test_slr_dense_matches_sparse_and_v2_runs():
     # dense path (which is the oracle for maximum_warp_norm_sparse)
     opt_v2 = _opt(use_softmax_splatter_v2=True, use_softmax_splatter=False)
     model_v2 = SLRModel(opt_v2)
-    out = slr_rollout_sparse(
-        model_v2, variables, jnp.asarray(img), jnp.asarray(flow), N,
-        jnp.asarray(pos), jnp.asarray(valid), decode_batch=2)
-    dense_v2 = slr_rollout_dense(
-        model_v2, variables, jnp.asarray(img), jnp.asarray(flow), N)
+    out = _jit_sparse(model_v2, N)(
+        variables, jnp.asarray(img), jnp.asarray(flow),
+        jnp.asarray(pos), jnp.asarray(valid))
+    dense_v2 = jax.jit(lambda v, i, f: slr_rollout_dense(model_v2, v, i, f, N))(
+        variables, jnp.asarray(img), jnp.asarray(flow))
     np.testing.assert_allclose(np.asarray(out["PredImg"]),
                                np.asarray(dense_v2["PredImg"]),
                                rtol=2e-5, atol=2e-5)
@@ -168,11 +174,15 @@ def test_alpha_input_variants_and_akl():
         "mask_rock": jnp.zeros((B, H, W, 1), jnp.float32),
         "mean_video": jnp.zeros((B, H, W, 3), jnp.float32),
     }
-    variables = model.init(
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, True, False,
+                                method=model.forward_train))(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        batch, True, False, method=model.forward_train)
-    gen, pred = model.apply(variables, batch, False, True,
-                            method=model.forward_train)
+        batch)
+    gen, pred = jax.jit(
+        lambda v, b: model.apply(v, b, False, True,
+                                 method=model.forward_train))(
+        variables, batch)
     assert gen.shape == (B, H, W, 3)
     assert pred["AlphaLogSigma"].shape == (B, H, W, 1)
     assert np.abs(np.asarray(pred["AlphaLogSigma"])).max() <= 50.0
@@ -317,16 +327,16 @@ def test_alpha_decoder_input_variants():
                 f"resnet_TinyTest_de_resnet_pconv2_{variant}_nonorm"))
         model = SLRModel(opt)
         img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
-        variables = model.init(
+        variables = jax.jit(lambda r, i: model.init(r, i, False, True))(
             {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-            img, False, True)
+            img)
         k = variables["params"]["net_alpha_decoder"]
         assert any(a.shape[-2] == in_ch for a in jax.tree.leaves(k)
                    if getattr(a, "ndim", 0) == 4), variant
         flow = (rng.standard_normal((H, W, 2))).astype(np.float32)
         flow[: H // 2] = 0.0
         pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
-        out = slr_rollout_sparse(
-            model, variables, jnp.asarray(img), jnp.asarray(flow), 2,
-            jnp.asarray(pos), jnp.asarray(valid), decode_batch=2)
+        out = _jit_sparse(model, 2)(
+            variables, jnp.asarray(img), jnp.asarray(flow),
+            jnp.asarray(pos), jnp.asarray(valid))
         assert np.isfinite(np.asarray(out["PredImg"])).all(), variant

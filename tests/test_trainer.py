@@ -27,14 +27,29 @@ def _tiny_batch(rng, B=2, H=32, W=32):
     }
 
 
-def test_train_step_updates_and_finite():
-    rng = np.random.default_rng(0)
+@pytest.fixture(scope="module")
+def base_trainer():
+    """Shared trainer/state/jitted-steps for the mechanics tests: tracing a
+    G+D train-step graph costs ~10 s on this 1-core host, so every test
+    re-building an identical trainer pays it again (VERDICT r2 #9)."""
     opt = tiny_options(W=32, batch_size=2)
     model = BaselineTrainable(opt, train_max_steps=4)
     trainer = Trainer(opt, model, steps_per_epoch=10)
-    batch = _tiny_batch(rng)
+    batch = _tiny_batch(np.random.default_rng(0))
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    step = jax.jit(trainer.make_train_step())
+    return {
+        "opt": opt,
+        "trainer": trainer,
+        "batch": batch,
+        "state": state,
+        "step1": jax.jit(trainer.make_train_step()),
+        "step2": jax.jit(trainer.make_train_step(accum=2)),
+    }
+
+
+def test_train_step_updates_and_finite(base_trainer):
+    state, batch = base_trainer["state"], base_trainer["batch"]
+    step = base_trainer["step1"]
     new_state, logs = step(state, batch, jax.random.PRNGKey(1))
 
     for k, v in logs.items():
@@ -110,6 +125,8 @@ def test_8device_vs_1device_train_step_equivalence():
             rtol=1e-4, atol=1e-4, err_msg=k)
 
 
+@pytest.mark.slow  # the round driver executes dryrun_multichip directly;
+# this in-suite replay (~70 s of tracing) is opt-in (pytest -m slow)
 def test_dryrun_multichip_8():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
@@ -275,21 +292,15 @@ def test_frame_sharded_v2_and_bf16_match_sparse():
                                    rtol=2e-2, atol=2e-2, err_msg=k)
 
 
-def test_gradient_accumulation_two_micro_batches():
+def test_gradient_accumulation_two_micro_batches(base_trainer):
     """num_accumulations=2 (reference base_model.py:95-163): one optimizer
     step from two micro-batches with 1/k-weighted gradients. With both
     micro-batches identical, the accumulated update must closely match the
     single-batch step (the only drift is the carried spectral power
     iteration between micro-calls), and logs are the micro-batch mean."""
-    rng = np.random.default_rng(3)
-    opt = tiny_options(W=32, batch_size=2, num_accumulations=2)
-    model = BaselineTrainable(opt, train_max_steps=4)
-    trainer = Trainer(opt, model, steps_per_epoch=10)
-    batch = _tiny_batch(rng)
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
-
-    step1 = jax.jit(trainer.make_train_step(accum=1))
-    step2 = jax.jit(trainer.make_train_step(accum=2))
+    batch = _tiny_batch(np.random.default_rng(3))
+    state = base_trainer["state"]
+    step1, step2 = base_trainer["step1"], base_trainer["step2"]
 
     s1, logs1 = step1(state, batch, jax.random.PRNGKey(7))
     s2, logs2 = step2(state, [batch, batch], jax.random.PRNGKey(7))
@@ -325,7 +336,7 @@ def test_gradient_accumulation_two_micro_batches():
     assert np.isfinite(np.asarray(logs3["Total Loss"]))
 
 
-def test_accum_scale_reference_vs_mean():
+def test_accum_scale_reference_vs_mean(base_trainer):
     """accum_scale='reference' reproduces the reference's literal
     loss/weight quirk (base_model.py:106,129-133): each micro loss x
     num_steps with grads summed = accum^2 x the 'mean' mode's gradient.
@@ -339,16 +350,18 @@ def test_accum_scale_reference_vs_mean():
                 return part.mu
         raise AssertionError("no ScaleByAdamState in optimizer state")
 
-    rng = np.random.default_rng(5)
-    batch = _tiny_batch(rng)
+    batch = _tiny_batch(np.random.default_rng(5))
+    state = base_trainer["state"]  # same init for both modes
+    opt_ref = base_trainer["opt"].replace(num_accumulations=2,
+                                          accum_scale="reference")
+    model_ref = BaselineTrainable(opt_ref, train_max_steps=4)
+    trainer_ref = Trainer(opt_ref, model_ref, steps_per_epoch=10)
+    # same VGG weights as the shared state (init_state normally sets them)
+    trainer_ref.load_vgg(base_trainer["trainer"].vgg_vars)
+    steps = {"mean": base_trainer["step2"],
+             "reference": jax.jit(trainer_ref.make_train_step(accum=2))}
     states, logs = {}, {}
-    for mode in ("mean", "reference"):
-        opt = tiny_options(W=32, batch_size=2, num_accumulations=2,
-                           accum_scale=mode)
-        model = BaselineTrainable(opt, train_max_steps=4)
-        trainer = Trainer(opt, model, steps_per_epoch=10)
-        state = trainer.init_state(jax.random.PRNGKey(0), batch)
-        step = jax.jit(trainer.make_train_step(accum=2))
+    for mode, step in steps.items():
         states[mode], logs[mode] = step(state, [batch, batch],
                                         jax.random.PRNGKey(7))
 
@@ -362,24 +375,20 @@ def test_accum_scale_reference_vs_mean():
                                float(logs["mean"]["L1"]), rtol=1e-6)
 
 
-def test_train_step_compact_moving_sets_exact():
+def test_train_step_compact_moving_sets_exact(base_trainer):
     """A train step with host-attached moving sets (mov_pos/mov_valid,
     compact phased integration) is bit-identical to the dense-integration
     step on masked motion — the round-3 attack on the training
     integration floor."""
     from slrsfs_tpu.cli.train import attach_moving_sets
 
-    rng = np.random.default_rng(13)
-    opt = tiny_options(W=32, batch_size=2)
-    model = BaselineTrainable(opt, train_max_steps=4)
-    trainer = Trainer(opt, model, steps_per_epoch=10)
-    batch = _tiny_batch(rng)
+    batch = _tiny_batch(np.random.default_rng(13))
     # masked motion: static top half (exact zeros)
     motions = np.asarray(batch["motions"]).copy()
     motions[:, :16] = 0.0
     batch["motions"] = jnp.asarray(motions)
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    step = jax.jit(trainer.make_train_step())
+    state = base_trainer["state"]
+    step = base_trainer["step1"]
 
     s_dense, logs_dense = step(state, batch, jax.random.PRNGKey(1))
     sparse_batch = attach_moving_sets(
