@@ -18,6 +18,9 @@ def main(argv=None):
     p.add_argument("--flow-dir", default=None)
     p.add_argument("--input-dir", default=None)
     p.add_argument("--n-frames", type=int, default=60)
+    p.add_argument("--gt-suffix", default=".mp4",
+                   help='".mp4" for the CLAW layout, "_gt.mp4" for '
+                        "eulerian_data (reference eval_eulerian_data.py:84)")
     p.add_argument("--vgg16-pth", default=None)
     p.add_argument("--alexnet-pth", default=None)
     p.add_argument("--lpips-pth", default=None)
@@ -36,14 +39,15 @@ def main(argv=None):
     results = eval_claw_dir(
         a.pred_dir, a.gt_dir, metrics=metrics, fluid=a.fluid,
         flow_dir=a.flow_dir, input_dir=a.input_dir, n_frames=a.n_frames,
-        out_json=a.out,
+        out_json=a.out, gt_suffix=a.gt_suffix,
     )
     if a.i3d_pth:
         from slrsfs_tpu.eval.i3d import FVD
 
         fvd = FVD(a.i3d_pth)
         results["TotalFVD"] = eval_fvd_dir(a.pred_dir, a.gt_dir, fvd,
-                                           n_frames=a.n_frames)
+                                           n_frames=a.n_frames,
+                                           gt_suffix=a.gt_suffix)
         out_json = a.out or os.path.join(
             a.pred_dir, "..", "metric_fluid.json" if a.fluid else "metric.json")
         with open(out_json, "w") as f:

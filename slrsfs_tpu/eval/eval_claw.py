@@ -40,12 +40,15 @@ def eval_claw_dir(pred_dir: str, gt_dir: str,
                   flow_dir: Optional[str] = None,
                   input_dir: Optional[str] = None,
                   n_frames: int = N_FRAMES,
-                  out_json: Optional[str] = None) -> Dict:
+                  out_json: Optional[str] = None,
+                  gt_suffix: str = ".mp4") -> Dict:
+    """gt_suffix: ".mp4" for the CLAW layout, "_gt.mp4" for the
+    eulerian_data layout (reference eval_eulerian_data.py:84)."""
     metrics = metrics or PerceptualMetrics()
     scenes = sorted(
         x for x in os.listdir(pred_dir)
         if os.path.exists(os.path.join(pred_dir, x, "PredImg", "000000.png"))
-        and os.path.exists(os.path.join(gt_dir, x + ".mp4"))
+        and os.path.exists(os.path.join(gt_dir, x + gt_suffix))
         and len(os.listdir(os.path.join(pred_dir, x, "PredImg"))) == n_frames
     )
     skipped = [x for x in os.listdir(pred_dir)
@@ -63,7 +66,7 @@ def eval_claw_dir(pred_dir: str, gt_dir: str,
     all_vals: Dict[str, list] = {k: [] for k in keys}
 
     for scene in scenes:
-        vr = VideoReader(os.path.join(gt_dir, scene + ".mp4"))
+        vr = VideoReader(os.path.join(gt_dir, scene + gt_suffix))
         vid_vals: Dict[str, list] = {k: [] for k in keys}
         mask = None
         input_img = None
@@ -110,19 +113,19 @@ def eval_claw_dir(pred_dir: str, gt_dir: str,
 
 
 def eval_fvd_dir(pred_dir: str, gt_dir: str, fvd,
-                 n_frames: int = N_FRAMES) -> float:
+                 n_frames: int = N_FRAMES, gt_suffix: str = ".mp4") -> float:
     """FVD over the scene set: one 60-frame video per scene, generated
     (PredImg stacks) vs ground truth (GT mp4 frames resized to pred size).
     ``fvd``: an available :class:`slrsfs_tpu.eval.i3d.FVD` scorer."""
     scenes = sorted(
         x for x in os.listdir(pred_dir)
         if os.path.exists(os.path.join(pred_dir, x, "PredImg", "000000.png"))
-        and os.path.exists(os.path.join(gt_dir, x + ".mp4"))
+        and os.path.exists(os.path.join(gt_dir, x + gt_suffix))
         and len(os.listdir(os.path.join(pred_dir, x, "PredImg"))) == n_frames
     )
     real, gen = [], []
     for scene in scenes:
-        vr = VideoReader(os.path.join(gt_dir, scene + ".mp4"))
+        vr = VideoReader(os.path.join(gt_dir, scene + gt_suffix))
         pred = np.concatenate([
             _img01(os.path.join(pred_dir, scene, "PredImg", f"{t:06d}.png"))
             for t in range(n_frames)])

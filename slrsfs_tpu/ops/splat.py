@@ -536,7 +536,23 @@ def maximum_warp_norm_sparse(z: Array, static_mask: Array, z_mov: Array,
     ], axis=-1)
     pad = W + 1
     q = jnp.clip(y0 * W + x0 + pad, 0, HW + 2 * pad - 1)
-    buf = jnp.full((HW + 2 * pad, 4), -jnp.inf, fdt).at[q].max(upd)
+    # lane-dense scatter-max: a (rows, 4) buffer would lane-pad 4 -> 128
+    # (32x the bytes: 302 MB at 768²); instead 32 quad rows pack into one
+    # 128-lane operand row — updates are 4-wide windows at lane (q%32)·4,
+    # rows q//32 — and the reshape back to (L, 4) is the same row-major
+    # order, so the shifted-slice combine is unchanged.
+    L = -(-(HW + 2 * pad) // 32) * 32
+    rows = L // 32
+    idx = jnp.stack([q // 32, (q % 32) * 4], axis=-1)  # (P, 2)
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,),
+        inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+    packed = jax.lax.scatter_max(
+        jnp.full((rows, 128), -jnp.inf, fdt), idx, upd, dnums,
+        indices_are_sorted=False, unique_indices=False)
+    buf = packed.reshape(L, 4)
     mx_mov = jnp.maximum(
         jnp.maximum(buf[pad:pad + HW, 0], buf[pad - 1:pad - 1 + HW, 1]),
         jnp.maximum(buf[pad - W:pad - W + HW, 2],
@@ -546,23 +562,24 @@ def maximum_warp_norm_sparse(z: Array, static_mask: Array, z_mov: Array,
 
     # ---- inverse gather: per-source max of init=z and the 4 target cells --
     # static pixels: target = self → fixed [self, E, S, SE] stencil
+    mx_e = _shift2d(mx, 0, 1, _STENCIL_NEG)
+    mx_s = _shift2d(mx, 1, 0, _STENCIL_NEG)
+    mx_se = _shift2d(mx, 1, 1, _STENCIL_NEG)
     zmax_dense = jnp.maximum(
         z,
-        jnp.maximum(
-            jnp.maximum(mx, _shift2d(mx, 0, 1, _STENCIL_NEG)),
-            jnp.maximum(_shift2d(mx, 1, 0, _STENCIL_NEG),
-                        _shift2d(mx, 1, 1, _STENCIL_NEG)),
-        ),
+        jnp.maximum(jnp.maximum(mx, mx_e), jnp.maximum(mx_s, mx_se)),
     )
 
-    # moving pixels: one gather of 4-wide rows from the shifted view
-    view = jnp.stack([
-        mx, _shift2d(mx, 0, 1, _STENCIL_NEG),
-        _shift2d(mx, 1, 0, _STENCIL_NEG), _shift2d(mx, 1, 1, _STENCIL_NEG),
-    ], axis=-1).reshape(HW, 4)
+    # moving pixels: four (P,) gathers from the already-built shifted maps
+    # (a stacked (HW, 4) view would lane-pad 4 -> 128: 63 MB of writes at
+    # 480×256 for 2 MB of data)
     cx = jnp.clip(x0, 0, W - 1)
     cy = jnp.clip(y0, 0, H - 1)
-    r = view[cy * W + cx]  # (P, 4): [mx(c), E, S, SE] at the clamped corner
+    flat = cy * W + cx
+    r = jnp.stack([
+        mx.reshape(HW)[flat], mx_e.reshape(HW)[flat],
+        mx_s.reshape(HW)[flat], mx_se.reshape(HW)[flat],
+    ], axis=-1)  # (P, 4): [mx(c), E, S, SE] at the clamped corner
     xneg = x0 < 0  # NW column clamped up: E-taps shift into the base column
     yneg = y0 < 0
     inb_x = (x0 >= 0) & (x0 < W)
