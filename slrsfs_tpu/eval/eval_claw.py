@@ -71,7 +71,22 @@ def eval_claw_dir(pred_dir: str, gt_dir: str,
         mask = None
         input_img = None
         if fluid:
-            flow = read_flo(os.path.join(flow_dir, scene + "_motion.flo"))
+            flo_path = os.path.join(flow_dir, scene + "_motion.flo")
+            if os.path.exists(flo_path):
+                flow = read_flo(flo_path)
+            else:  # eulerian-layout lz4 motion tensors
+                from slrsfs_tpu.data.tensors import (
+                    load_compressed_tensor, motion_to_hw2,
+                )
+
+                for suf in ("_motion.pth", "_motion.npz"):
+                    cand = os.path.join(flow_dir, scene + suf)
+                    if os.path.exists(cand):
+                        flow = motion_to_hw2(load_compressed_tensor(cand))
+                        break
+                else:
+                    raise FileNotFoundError(
+                        f"no motion file for {scene} under {flow_dir}")
             p0 = _img01(os.path.join(pred_dir, scene, "PredImg", "000000.png"))
             import cv2
 

@@ -81,6 +81,9 @@ def main():
     ap.add_argument("W", nargs="?", type=int, default=256)
     ap.add_argument("--stages", action="store_true")
     ap.add_argument("--runs", type=int, default=4)
+    ap.add_argument("--sparse-frac", type=float, default=0.5,
+                    help="moving fraction for the --stages sparse-motion "
+                         "measurement")
     a = ap.parse_args()
 
     from slrsfs_tpu.cli.train import attach_moving_sets
@@ -124,14 +127,14 @@ def main():
             k: ([np.asarray(x) for x in v] if isinstance(v, list)
                 else np.asarray(v))
             for k, v in make_batch(np.random.default_rng(1), B, W,
-                                   moving_frac=0.5).items()}
+                                   moving_frac=a.sparse_frac).items()}
         sparse_b = attach_moving_sets(sparse_np)
         assert "mov_pos" in sparse_b
         sparse_b = {k: ([jnp.asarray(x) for x in v] if isinstance(v, list)
                         else jnp.asarray(v)) for k, v in sparse_b.items()}
-        sp = measure("sparse-motion step (50% moving)", opt,
+        sp = measure(f"sparse-motion step ({a.sparse_frac:.0%} moving)", opt,
                      use_batch=sparse_b)
-        out["train_step_sparse50_s"] = round(sp, 4)
+        out[f"train_step_sparse{int(a.sparse_frac*100)}_s"] = round(sp, 4)
 
     print(json.dumps(out), flush=True)
 
