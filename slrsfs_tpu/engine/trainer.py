@@ -107,20 +107,31 @@ class Trainer:
 
     def init_vgg(self, rng):
         img = jnp.zeros((1, 32, 32, 3), jnp.float32)
-        self.vgg_vars = self.vgg.init(rng, img)
+        self.vgg_vars = jax.jit(
+            lambda r: self.vgg.init(r, img))(rng)
 
     def load_vgg(self, vgg_vars):
         self.vgg_vars = vgg_vars
 
     def init_state(self, rng, example_batch) -> TrainState:
         r1, r2, r3, r4 = jax.random.split(rng, 4)
-        g_vars = self.model.init(
-            {"params": r1, "noise": r2},
-            example_batch, True, False, method=self.model.forward_train,
-        )
-        d_vars = self.d_model.init(
-            {"params": r3}, self._target(example_batch), True
-        )
+
+        # Jitted init: flax's Module.init otherwise executes eagerly,
+        # op-by-op — ~100x slower over the axon tunnel and ~10 s of host
+        # dispatch per trainer even on CPU (the persistent compile cache
+        # makes the jitted version ~free on re-runs).
+        @jax.jit
+        def _init(r1, r2, r3, batch):
+            g_vars = self.model.init(
+                {"params": r1, "noise": r2},
+                batch, True, False, method=self.model.forward_train,
+            )
+            d_vars = self.d_model.init(
+                {"params": r3}, self._target(batch), True
+            )
+            return g_vars, d_vars
+
+        g_vars, d_vars = _init(r1, r2, r3, example_batch)
         if self.vgg_vars is None:
             self.init_vgg(r4)
         return TrainState(

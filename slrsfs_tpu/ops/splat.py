@@ -536,23 +536,14 @@ def maximum_warp_norm_sparse(z: Array, static_mask: Array, z_mov: Array,
     ], axis=-1)
     pad = W + 1
     q = jnp.clip(y0 * W + x0 + pad, 0, HW + 2 * pad - 1)
-    # lane-dense scatter-max: a (rows, 4) buffer would lane-pad 4 -> 128
-    # (32x the bytes: 302 MB at 768²); instead 32 quad rows pack into one
-    # 128-lane operand row — updates are 4-wide windows at lane (q%32)·4,
-    # rows q//32 — and the reshape back to (L, 4) is the same row-major
-    # order, so the shifted-slice combine is unchanged.
-    L = -(-(HW + 2 * pad) // 32) * 32
-    rows = L // 32
-    idx = jnp.stack([q // 32, (q % 32) * 4], axis=-1)  # (P, 2)
-    dnums = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1,),
-        inserted_window_dims=(0,),
-        scatter_dims_to_operand_dims=(0, 1),
-    )
-    packed = jax.lax.scatter_max(
-        jnp.full((rows, 128), -jnp.inf, fdt), idx, upd, dnums,
-        indices_are_sorted=False, unique_indices=False)
-    buf = packed.reshape(L, 4)
+    # NOTE on layout: a "lane-dense" variant packing 32 quad rows into one
+    # 128-lane operand row via lax.scatter_max with 4-wide update windows
+    # was measured 12.6x SLOWER end-to-end on the v5e (12.4 s vs 0.97 s for
+    # the 60-frame SLR-v2 rollout): the general windowed scatter lowers to
+    # a serialized per-update loop, while this row-indexed .at[].max lowers
+    # to the same fused one-scatter form as the main quad splat. The 4->128
+    # lane padding costs HBM bytes but stays on the fast scatter path.
+    buf = jnp.full((HW + 2 * pad, 4), -jnp.inf, fdt).at[q].max(upd)
     mx_mov = jnp.maximum(
         jnp.maximum(buf[pad:pad + HW, 0], buf[pad - 1:pad - 1 + HW, 1]),
         jnp.maximum(buf[pad - W:pad - W + HW, 2],

@@ -296,8 +296,8 @@ def test_import_motion_checkpoint(tmp_path):
     img = (rng.standard_normal((1, 256, 256, 3)) * 0.25).astype(np.float32)
     mask = np.ones((1, 256, 256, 1), np.float32)
     hint = np.zeros((1, 256, 256, 2), np.float32)
-    pred = m.apply(variables, jnp.asarray(img), jnp.asarray(mask),
-                   jnp.asarray(hint))
+    pred = jax.jit(m.apply)(variables, jnp.asarray(img), jnp.asarray(mask),
+                            jnp.asarray(hint))
     assert pred.shape == (1, 256, 256, 2)
     assert np.isfinite(np.asarray(pred)).all()
 
@@ -336,7 +336,10 @@ def test_stage3_merged_init_partial_fallback():
         use_alpha0_as_blending_weight=True)
     model = SLRModel(opt)
     img = jnp.zeros((1, 16, 16, 3), jnp.float32)
-    fresh = model.init(
+    from slrsfs_tpu.engine.init_utils import jit_init
+
+    fresh = jit_init(
+        model,
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         img, False, True)
     fresh = {k: jax.tree.map(np.asarray, dict(v)) for k, v in fresh.items()}

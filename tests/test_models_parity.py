@@ -135,7 +135,10 @@ def test_rollout_smoke_and_frame0():
     opt = Options(ngf=16, W=32)
     model = BaselineModel(opt)
     img = rng.standard_normal((1, 32, 32, 3)).astype(np.float32) * 0.25
-    variables = model.init(
+    from slrsfs_tpu.engine.init_utils import jit_init
+
+    variables = jit_init(
+        model,
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         img, False, True,
     )

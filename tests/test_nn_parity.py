@@ -187,6 +187,8 @@ def test_additional_arch_tables_construct():
         arch = get_resnet_arch(mt, opt)
         dec = ResNetDecoder(opt)
         x = jnp.zeros((1, in_w, in_w, arch["layers_dec"][0]))
+        # NOTE: eager init on purpose — these are many tiny per-arch graphs
+        # where a jitted init's trace+lower outweighs eager dispatch.
         variables = dec.init(
             {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
             x, False, True)

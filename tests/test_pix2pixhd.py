@@ -93,35 +93,6 @@ def test_origin_discriminator_parity():
         assert_close(got[scale][0], to_nhwc(want[scale][0]), rel=2e-4)
 
 
-def test_origin_d_trains_in_motion_gan():
-    """pix2pixHDorigin is selectable as the trainer's discriminator; a motion
-    GAN step runs and GAN_Feat is absent (getIntermFeat=False semantics)."""
-    import jax
-
-    from conftest import tiny_options
-    from slrsfs_tpu.engine.trainer import Trainer
-    from slrsfs_tpu.models.motion import MotionRegressor
-
-    rng = np.random.default_rng(4)
-    B, H = 1, 256
-    opt = tiny_options(W=H, motionH=H, motionW=H, batch_size=B,
-                       model_type="SPADE_unet_mask_motion",
-                       discriminator_losses="pix2pixHDorigin",
-                       motion_losses=("10.0_EndPointError",), div_flow=1.0)
-    model = MotionRegressor(opt)
-    trainer = Trainer(opt, model, steps_per_epoch=10, task="motion")
-    motion = np.zeros((B, H, H, 2), np.float32)
-    motion[:, H // 2:, :, 0] = 1.0
-    batch = {
-        "images": [jnp.asarray(rng.standard_normal((B, H, H, 3)) * 0.25,
-                               jnp.float32)],
-        "motions": jnp.asarray(motion),
-        "hints": jnp.zeros((B, H, H, 2), jnp.float32),
-    }
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    step = jax.jit(trainer.make_train_step())
-    _, logs = step(state, batch, jax.random.PRNGKey(1))
-    assert "GAN" in logs and "D_Fake" in logs
-    assert float(logs["GAN_Feat"]) == 0.0  # no intermediate features
-    for k, v in logs.items():
-        assert np.isfinite(np.asarray(v)).all(), k
+# Trainer integration of the origin D (one motion GAN step, GAN_Feat==0)
+# lives in tests/test_stage_trainers.py::test_motion_gan_train_step so the
+# suite compiles only one 256² motion train-step graph.

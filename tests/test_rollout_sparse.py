@@ -30,7 +30,13 @@ def _run_sparse(model, N, db, sd=None):
         model, v, i, f, N, p, va, decode_batch=db, splat_dtype=sd))
 
 
-def test_sparse_equals_dense():
+def test_sparse_equals_dense_and_bf16_splat_close():
+    """(a) The sparse rollout equals the dense rollout exactly on a scene
+    with exact-zero static regions; (b) opt-in bf16 splat accumulation
+    (splat_dtype=bfloat16) stays within ~1e-2 of the exact f32-accumulated
+    sparse frames (weights and normalization stay f32 — ops/splat.py
+    _quad_rows). One shared model/init/settle: the two checks reuse the
+    same compiled sparse graph."""
     rng = np.random.default_rng(11)
     H = W = 32
     N = 6
@@ -47,35 +53,15 @@ def test_sparse_equals_dense():
     dense = _run_dense(model, N)(variables, jnp.asarray(img),
                                  jnp.asarray(flow))
     positions, valid = prepare_scene_sparse(flow, pad_multiple=64)
-    sparse = _run_sparse(model, N, 3)(
-        variables, jnp.asarray(img), jnp.asarray(flow),
-        jnp.asarray(positions), jnp.asarray(valid))
+    args = (variables, jnp.asarray(img), jnp.asarray(flow),
+            jnp.asarray(positions), jnp.asarray(valid))
+    sparse = _run_sparse(model, N, 3)(*args)
     np.testing.assert_allclose(
         np.asarray(sparse), np.asarray(dense), rtol=1e-5, atol=1e-5
     )
 
-
-def test_fast_bf16_splat_close_to_f32():
-    """Opt-in bf16 splat accumulation (splat_dtype=bfloat16) renders frames
-    within ~1e-2 of the exact f32-accumulated sparse path (weights and
-    normalization stay f32 — ops/splat.py _quad_rows)."""
-    rng = np.random.default_rng(7)
-    H = W = 32
-    N = 4
-    opt = Options(ngf=16, W=W)
-    model = BaselineModel(opt)
-    img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
-    variables = _jit_init(model, img)
-    variables = settle(model, variables, (jnp.asarray(img),), n=8)
-
-    flow = (rng.standard_normal((H, W, 2)) * 1.2).astype(np.float32)
-    flow[: H // 2] = 0.0
-    positions, valid = prepare_scene_sparse(flow, pad_multiple=64)
-    args = (variables, jnp.asarray(img), jnp.asarray(flow),
-            jnp.asarray(positions), jnp.asarray(valid))
-    exact = _run_sparse(model, N, 2)(*args)
-    fast = _run_sparse(model, N, 2, sd=jnp.bfloat16)(*args)
-    assert np.abs(np.asarray(exact) - np.asarray(fast)).max() < 2e-2
+    fast = _run_sparse(model, N, 3, sd=jnp.bfloat16)(*args)
+    assert np.abs(np.asarray(sparse) - np.asarray(fast)).max() < 2e-2
 
 
 def test_prepare_scene_padding():

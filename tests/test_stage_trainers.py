@@ -36,11 +36,17 @@ def test_bg_stage_train_step():
 
 
 def test_motion_gan_train_step():
+    """One SPADE-UNet motion GAN step with the pix2pixHDorigin discriminator
+    (getIntermFeat=False semantics: GAN_Feat stays 0). This single step also
+    stands in for the default-D motion GAN step — the D is config-selected
+    and the default multiscale D trains in every baseline/BG trainer test —
+    so only one 256² motion train-step graph is compiled by the suite."""
     rng = np.random.default_rng(1)
-    B, H = 2, 256
+    B, H = 1, 256
     opt = tiny_options(
         W=H, motionH=H, motionW=H, batch_size=B,
         model_type="SPADE_unet_mask_motion",
+        discriminator_losses="pix2pixHDorigin",
         motion_losses=("10.0_EndPointError",), div_flow=1.0,
     )
     model = MotionRegressor(opt)
@@ -57,6 +63,7 @@ def test_motion_gan_train_step():
     step = jax.jit(trainer.make_train_step())
     new_state, logs = step(state, batch, jax.random.PRNGKey(1))
     assert "EndPointError" in logs and "GAN" in logs and "D_Fake" in logs
+    assert float(logs["GAN_Feat"]) == 0.0  # origin D: no intermediate feats
     for k, v in logs.items():
         assert np.isfinite(np.asarray(v)).all(), k
     g0 = jax.tree.leaves(state.g_params)[0]

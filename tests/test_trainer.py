@@ -138,7 +138,7 @@ def test_dryrun_multichip_8():
 def test_frame_sharded_rollout_matches_sparse():
     """Frame-sharded inference over the 8-device CPU mesh must equal the
     single-device sparse rollout."""
-    from slrsfs_tpu.engine.init_utils import settle
+    from slrsfs_tpu.engine.init_utils import jit_init, settle
     from slrsfs_tpu.engine.rollout import (
         baseline_rollout_frame_sharded,
         baseline_rollout_sparse,
@@ -154,7 +154,8 @@ def test_frame_sharded_rollout_matches_sparse():
 
     model = BaselineModel(opt)
     img = jnp.asarray(rng.standard_normal((1, H, W, 3)) * 0.25, jnp.float32)
-    variables = model.init(
+    variables = jit_init(
+        model,
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         img, False, True,
     )
@@ -182,7 +183,7 @@ def test_slr_frame_sharded_rollout_matches_sparse():
     """Frame-sharded SLR inference over the 8-device CPU mesh must equal the
     single-device sparse SLR rollout (the flagship two-layer model's
     multi-chip path)."""
-    from slrsfs_tpu.engine.init_utils import settle
+    from slrsfs_tpu.engine.init_utils import jit_init, settle
     from slrsfs_tpu.engine.rollout import (
         prepare_scene_sparse,
         slr_rollout_frame_sharded,
@@ -199,7 +200,8 @@ def test_slr_frame_sharded_rollout_matches_sparse():
                        use_alpha0_as_blending_weight=True)
     model = SLRModel(opt)
     img = jnp.asarray(rng.standard_normal((1, H, W, 3)) * 0.25, jnp.float32)
-    variables = model.init(
+    variables = jit_init(
+        model,
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         img, False, True,
     )
@@ -228,7 +230,7 @@ def test_frame_sharded_v2_and_bf16_match_sparse():
     (use_softmax_splatter_v2 per-frame max-warp-norm) and the bf16 speed
     modes run frame-sharded; 8-device results must match the single-device
     sparse rollout in the same mode."""
-    from slrsfs_tpu.engine.init_utils import settle
+    from slrsfs_tpu.engine.init_utils import jit_init, settle
     from slrsfs_tpu.engine.rollout import (
         baseline_rollout_frame_sharded,
         baseline_rollout_sparse,
@@ -254,7 +256,8 @@ def test_frame_sharded_v2_and_bf16_match_sparse():
     # --- v2 baseline, exact f32 equivalence --------------------------------
     opt = tiny_options(W=W, use_softmax_splatter_v2=True)
     model = BaselineModel(opt)
-    variables = model.init(
+    variables = jit_init(
+        model,
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         img, False, True)
     variables = settle(model, variables, (img,), n=8)
@@ -273,7 +276,8 @@ def test_frame_sharded_v2_and_bf16_match_sparse():
                         use_alpha0_as_blending_weight=True,
                         use_softmax_splatter_v2=True)
     slr = SLRModel(opt2)
-    v2vars = slr.init(
+    v2vars = jit_init(
+        slr,
         {"params": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)},
         img, False, True)
     v2vars = settle(slr, v2vars, (img,), n=8)
