@@ -181,6 +181,13 @@ def main(argv=None):
                         "reference's literal loss/weight quirk (each micro "
                         "loss x num_steps, grads summed = accum^2 x mean; "
                         "base_model.py:106,129-133)")
+    p.add_argument("--train-compute-dtype",
+                   choices=["float32", "bfloat16"], default="float32",
+                   help="G forward/backward compute dtype: 'bfloat16' is "
+                        "opt-in mixed precision (f32 master params + Adam "
+                        "state, bf16 model compute — the same cast as the "
+                        "inference speed mode); 'float32' matches the "
+                        "reference numerics")
     p.add_argument("--train-sparse-motion", choices=["auto", "off"],
                    default="auto",
                    help="integrate only each sample's moving pixels in the "
@@ -237,6 +244,7 @@ def main(argv=None):
         freeze_motion=a.freeze_motion,
         num_accumulations=max(1, a.num_accumulations),
         accum_scale=a.accum_scale,
+        train_compute_dtype=a.train_compute_dtype,
     )
     if a.motion_losses:
         opt = opt.replace(motion_losses=tuple(a.motion_losses))

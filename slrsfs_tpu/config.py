@@ -117,6 +117,12 @@ class Options:
     # loss/weight quirk (base_model.py:106,129-133). Only differs when
     # num_accumulations > 1.
     accum_scale: str = "mean"
+    # 'float32' (default, reference numerics) or 'bfloat16': opt-in mixed
+    # precision for the G forward/backward — f32 master params/optimizer,
+    # model compute in bf16 (same cast the inference speed mode uses),
+    # mutable BN/spectral state stored back as f32. No reference analog
+    # (the reference trains f32); measured TPU speedup in GAPS.md.
+    train_compute_dtype: str = "float32"
     seed: int = 0
 
     # ---- data -----------------------------------------------------------------

@@ -192,22 +192,44 @@ class Trainer:
         tx_g, tx_d = self.tx_g, self.tx_d
         use_d = self.use_discriminator
 
+        # Opt-in mixed precision (opt.train_compute_dtype='bfloat16'): the G
+        # forward/backward runs in bf16 — params/stats/spectral and float
+        # batch fields cast at the loss-fn boundary, exactly like the
+        # inference speed mode (engine/rollout.py:_cast_for_compute) — while
+        # master params, Adam state, losses (which promote to f32 against
+        # the f32 target/VGG), and the stored mutable state stay f32. The
+        # cast sits inside the grad closure, so d(cast)/d(param) hands f32
+        # gradients to the optimizer.
+        cd = (jnp.bfloat16 if opt.train_compute_dtype == "bfloat16" else None)
+
+        def _cast(tree, dtype):
+            if cd is None:
+                return tree
+            return jax.tree.map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, tree)
+
         def g_value_grad(g_params, g_stats, g_spectral, d_params, d_spectral,
                          batch, rng, step):
             middle = self._target(batch)
+            batch_c = _cast(batch, cd)
 
             def g_loss_fn(gp):
                 g_vars = {
-                    "params": gp,
-                    "batch_stats": g_stats,
-                    "spectral": g_spectral,
+                    "params": _cast(gp, cd),
+                    "batch_stats": _cast(g_stats, cd),
+                    "spectral": _cast(g_spectral, cd),
                 }
                 (gen_img, pred), ups = model.apply(
-                    g_vars, batch, True, False,
+                    g_vars, batch_c, True, False,
                     method=model.forward_train,
                     mutable=["batch_stats", "spectral"],
                     rngs={"noise": rng},
                 )
+                ups = _cast(ups, jnp.float32)
+                # losses (VGG, D, recon vs f32 targets) run in f32; the
+                # cast's VJP hands bf16 cotangents back to the model bwd
+                gen_img, pred = _cast((gen_img, pred), jnp.float32)
                 t_losses = self._recon_losses(gen_img, middle)
                 total = t_losses["Total Loss"]
                 logs = dict(t_losses)

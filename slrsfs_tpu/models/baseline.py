@@ -188,10 +188,12 @@ class BaselineTrainable(BaselineModel):
         tp_c = jnp.clip(t_p, 0, T - tf_c)
         flow_f, flow_p = train_integrate(batch, flow, tf_c, tp_c, T)
 
+        # alpha follows the feature dtype so the bf16 training mode's splat
+        # outputs are not promoted back to f32 by the blend
         alpha = (
             1.0
-            - (idx[:, 1] - idx[:, 0]).astype(jnp.float32)
-            / (idx[:, 2] - idx[:, 0] + 1).astype(jnp.float32)
+            - (idx[:, 1] - idx[:, 0]).astype(fs_s.dtype)
+            / (idx[:, 2] - idx[:, 0] + 1).astype(fs_s.dtype)
         ).reshape(B, 1, 1, 1)
 
         z_f = z_for_splat(opt, fs_s, z_f)

@@ -198,7 +198,7 @@ def moving_region_mask(motion: Array) -> Array:
     """speed >= 0.1·mean-speed mask (reference unet_motion.py:57-61). NHWC."""
     speed = jnp.linalg.norm(motion, axis=-1, keepdims=True)
     small = (speed < jnp.mean(speed, axis=(1, 2, 3), keepdims=True) * 0.1)
-    return 1.0 - small.astype(jnp.float32)
+    return 1.0 - small.astype(motion.dtype)
 
 
 def resolved_motion_model_type(opt: Options) -> str:

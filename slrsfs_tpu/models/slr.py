@@ -351,7 +351,7 @@ class SLRTrainable(SLRModel):
         speed = jnp.linalg.norm(flow, axis=-1, keepdims=True)
         small_motion_alpha = (
             speed < jnp.mean(speed, axis=(1, 2, 3), keepdims=True) * 0.1
-        ).astype(jnp.float32)
+        ).astype(flow.dtype)
 
         fs_s, z_f = self.encode(start_img, train, deterministic)
         fs_e, z_p = self.encode(end_img, train, deterministic)
@@ -394,10 +394,12 @@ class SLRTrainable(SLRModel):
 
         flow_f, flow_p = train_integrate(batch, flow, tf_c, tp_c, T)
 
+        # alpha follows the feature dtype so the bf16 training mode's
+        # splat outputs are not promoted back to f32 by the blend
         alpha = jnp.clip(
             1.0
-            - (idx[:, 1] - idx[:, 0]).astype(jnp.float32)
-            / (idx[:, 2] - idx[:, 0] + 1).astype(jnp.float32),
+            - (idx[:, 1] - idx[:, 0]).astype(fs_s.dtype)
+            / (idx[:, 2] - idx[:, 0] + 1).astype(fs_s.dtype),
             ALPHA_MIN, ALPHA_MAX,
         ).reshape(B, 1, 1, 1)
 
@@ -423,7 +425,7 @@ class SLRTrainable(SLRModel):
         g = (softsplat_sum(u_f, flow_f) * alpha
              + softsplat_sum(u_p, flow_p) * (1.0 - alpha))
         alpha_fluid_mask = jax.lax.stop_gradient(
-            (g[..., -1:] > NORM_EPS).astype(jnp.float32))
+            (g[..., -1:] > NORM_EPS).astype(g.dtype))
         gen_fs, alpha_fluid_warped = slr_unpack_splatted(g, use_alpha0)
         if "ff_mask" in batch:
             # SLR applies the occlusion mask AFTER normalization (:586-594)

@@ -296,6 +296,37 @@ def test_frame_sharded_v2_and_bf16_match_sparse():
                                    rtol=2e-2, atol=2e-2, err_msg=k)
 
 
+def test_train_step_bf16_compute(base_trainer):
+    """Opt-in mixed precision (train_compute_dtype='bfloat16'): the G
+    forward/backward runs in bf16 but every piece of persistent state —
+    params, Adam moments, BN stats, spectral u/v — stays float32, and one
+    step's losses land near the f32 step's (bf16 rounding only)."""
+    opt = base_trainer["opt"].replace(train_compute_dtype="bfloat16")
+    model = BaselineTrainable(opt, train_max_steps=4)
+    trainer = Trainer(opt, model, steps_per_epoch=10)
+    trainer.load_vgg(base_trainer["trainer"].vgg_vars)
+    batch, state = base_trainer["batch"], base_trainer["state"]
+    step16 = jax.jit(trainer.make_train_step())
+
+    s16, logs16 = step16(state, batch, jax.random.PRNGKey(1))
+    _, logs32 = base_trainer["step1"](state, batch, jax.random.PRNGKey(1))
+
+    for tree in (s16.g_params, s16.g_stats, s16.g_spectral, s16.d_params,
+                 s16.opt_g):
+        for leaf in jax.tree.leaves(tree):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.float32, leaf.dtype
+    for k, v in logs16.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    # bf16 has ~3 decimal digits; recon losses must agree loosely
+    for k in ("L1", "Total Loss"):
+        a, b = float(logs16[k]), float(logs32[k])
+        assert abs(a - b) <= 0.12 * abs(b) + 0.05, (k, a, b)
+    g0 = jax.tree.leaves(state.g_params)[0]
+    g1 = jax.tree.leaves(s16.g_params)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+
+
 def test_gradient_accumulation_two_micro_batches(base_trainer):
     """num_accumulations=2 (reference base_model.py:95-163): one optimizer
     step from two micro-batches with 1/k-weighted gradients. With both

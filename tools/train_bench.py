@@ -84,6 +84,10 @@ def main():
     ap.add_argument("--sparse-frac", type=float, default=0.5,
                     help="moving fraction for the --stages sparse-motion "
                          "measurement")
+    ap.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="train_compute_dtype: bfloat16 measures the opt-in "
+                         "mixed-precision G fwd/bwd")
     a = ap.parse_args()
 
     from slrsfs_tpu.cli.train import attach_moving_sets
@@ -109,7 +113,7 @@ def main():
               f"compile {compile_s:.1f}s)", file=sys.stderr, flush=True)
         return best
 
-    opt = Options(W=W, batch_size=B)
+    opt = Options(W=W, batch_size=B, train_compute_dtype=a.compute_dtype)
     full = measure("full G+D step (dense integration)", opt)
     out["train_step_s"] = round(full, 4)
     out["train_samples_per_s"] = round(B / full, 2)
