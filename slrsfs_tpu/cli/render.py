@@ -67,7 +67,7 @@ class SceneRenderer:
                  dtype: str = "float32", decode_batch: int = 60,
                  seed: int = 0, motion_ckpt: str = None,
                  opt_overrides: dict = None, shard_frames: bool = False,
-                 sparsify_eps: float = 0.0):
+                 sparsify_eps: float = 0.0, crop_decode: str = "auto"):
         from concurrent.futures import ThreadPoolExecutor
 
         from slrsfs_tpu.config import Options
@@ -100,6 +100,10 @@ class SceneRenderer:
         # drifts <= N*s px over the rollout, so eps = 0.5/N bounds the
         # position error of every zeroed pixel at half a pixel.
         self.sparsify_eps = sparsify_eps
+        # 'auto': splat+decode only the moving-region window when its area
+        # is < 85% of the frame and paste onto one full-frame static decode
+        # — exact (engine/rollout.py crop section), cost ∝ window area
+        self.crop_decode = crop_decode
 
         self.regressor = self.m_vars = None
         if motion_ckpt:
@@ -147,9 +151,9 @@ class SceneRenderer:
             self.variables = settle(self.model, v, (small,), n=6)
         return self.variables
 
-    def _rollout(self, P: int, has_region: bool):
-        """Jitted rollout for one sparse-set size bucket."""
-        key = (P, has_region)
+    def _rollout(self, P: int, has_region: bool, crop=None, with_disp=False):
+        """Jitted rollout for one sparse-set size bucket (and crop plan)."""
+        key = (P, has_region, crop, with_disp)
         if key not in self._jit_cache:
             from slrsfs_tpu.engine.rollout import (
                 baseline_rollout_frame_sharded,
@@ -189,20 +193,22 @@ class SceneRenderer:
                             mesh, compute_dtype=self.compute_dtype,
                             splat_dtype=self.splat_dtype)}))
             elif self.slr:
-                fn = jax.jit(lambda v, i, f, p, va, rg: to_u8(
+                fn = jax.jit(lambda v, i, f, p, va, rg, disp=None: to_u8(
                     slr_rollout_sparse(
                         self.model, v, i, f, self.n_frames, p, va,
                         decode_batch=self.decode_batch,
                         compute_dtype=self.compute_dtype,
                         splat_dtype=self.splat_dtype,
-                        alpha_region=rg if has_region else None)))
+                        alpha_region=rg if has_region else None,
+                        crop=crop, disp=disp)))
             else:
-                fn = jax.jit(lambda v, i, f, p, va, rg: to_u8({
+                fn = jax.jit(lambda v, i, f, p, va, rg, disp=None: to_u8({
                     "PredImg": baseline_rollout_sparse(
                         self.model, v, i, f, self.n_frames, p, va,
                         decode_batch=self.decode_batch,
                         compute_dtype=self.compute_dtype,
-                        splat_dtype=self.splat_dtype)}))
+                        splat_dtype=self.splat_dtype,
+                        crop=crop, disp=disp)}))
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
@@ -288,10 +294,21 @@ class SceneRenderer:
             print(f"[profile {name}] {format_stages(st)}")
             self.profile_stages = False  # once per process is plenty
 
+        flow_d, pos_d, val_d = (jnp.asarray(flow), jnp.asarray(positions),
+                                jnp.asarray(valid))
+        crop = disp = None
+        if self.crop_decode == "auto" and self.mesh is None:
+            from slrsfs_tpu.engine.rollout import prepare_crop
+
+            disp, crop = prepare_crop(self.opt, self.slr, flow_d, pos_d,
+                                      val_d, n_frames)
         run = self._rollout(positions.shape[0],
-                            has_region=alpha_region_path is not None)
-        outs = run(variables, img, jnp.asarray(flow),
-                   jnp.asarray(positions), jnp.asarray(valid), region)
+                            has_region=alpha_region_path is not None,
+                            crop=crop, with_disp=disp is not None)
+        if disp is not None:
+            outs = run(variables, img, flow_d, pos_d, val_d, region, disp)
+        else:
+            outs = run(variables, img, flow_d, pos_d, val_d, region)
         outs = {k: np.asarray(v) for k, v in outs.items()}
         # backpressure: saving is the dominant host cost, so cap the queue —
         # each pending entry holds a full scene's output stack in host memory
@@ -316,7 +333,8 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
                  dtype: str = "float32", decode_batch: int = 60,
                  alpha_region_path: str = None, seed: int = 0,
                  motion_ckpt: str = None, opt_overrides: dict = None,
-                 shard_frames: bool = False, sparsify_eps: float = 0.0):
+                 shard_frames: bool = False, sparsify_eps: float = 0.0,
+                 crop_decode: str = "auto"):
     """One-shot render (reference single-scene driver equivalent).
 
     Scene loops should build one :class:`SceneRenderer` and call
@@ -325,7 +343,8 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
     r = SceneRenderer(ckpt=ckpt, W=W, n_frames=n_frames, dtype=dtype,
                       decode_batch=decode_batch, seed=seed,
                       motion_ckpt=motion_ckpt, opt_overrides=opt_overrides,
-                      shard_frames=shard_frames, sparsify_eps=sparsify_eps)
+                      shard_frames=shard_frames, sparsify_eps=sparsify_eps,
+                      crop_decode=crop_decode)
     out_dir = r.render(image_path, flow_path, save_dir, name=name,
                        speed=speed, align_json=align_json, rawsize=rawsize,
                        rotate=rotate, flow_scale=flow_scale,
@@ -412,6 +431,11 @@ def main(argv=None):
                         "bounds every zeroed pixel's trajectory drift at "
                         "half a pixel (tools/scene_stats.py measures "
                         "per-scene impact)")
+    p.add_argument("--crop-decode", choices=["auto", "off"], default="auto",
+                   help="'auto': per frame, splat+decode only the moving-"
+                        "region window (receptive-field-haloed — exact) and "
+                        "paste onto one full-frame static decode; engages "
+                        "when the window is < 85%% of the frame")
     p.add_argument("--profile-stages", action="store_true",
                    help="print reference-style per-stage timings (t_encoder/"
                         "t_euler_integration/t_softmax_splating/t_decoder) "
@@ -420,7 +444,8 @@ def main(argv=None):
     r = SceneRenderer(ckpt=a.ckpt, W=a.W, n_frames=a.n_frames, dtype=a.dtype,
                       motion_ckpt=a.motion_ckpt,
                       shard_frames=a.shard_frames,
-                      sparsify_eps=a.sparsify_eps)
+                      sparsify_eps=a.sparsify_eps,
+                      crop_decode=a.crop_decode)
     r.profile_stages = a.profile_stages
     out = r.render(a.image, a.flow, a.save_dir, name=a.name, speed=a.speed,
                    align_json=a.align, rawsize=a.rawsize, rotate=a.rotate,

@@ -131,6 +131,9 @@ def make_jit_rollout(model: BaselineModel, n_frames: int):
 import numpy as np
 
 from slrsfs_tpu.ops import euler_integrate_compact, euler_integrate_compact_dual
+
+# shared jit wrapper (cached by (P, N) bucket) for scene-prep integration
+_integrate_jit = jax.jit(euler_integrate_compact_dual, static_argnums=(2, 3))
 # quad-packed scatter: one update row per source pixel (ops/splat.py)
 from slrsfs_tpu.ops.splat import (
     softsplat_sum_at_quad as softsplat_sum_at,
@@ -157,6 +160,148 @@ def prepare_scene_sparse(flow_np, pad_multiple: int = 1024):
     return positions, valid
 
 
+# ---------------------------------------------------------------------------
+# Moving-region cropped decode (exact, receptive-field-haloed)
+# ---------------------------------------------------------------------------
+#
+# Splatted features are normalized POINTWISE, so at every pixel no moving
+# source can reach, the normalized field equals the encoder features exactly
+# (numerator and denominator share the same e^Z factor). The decoders are
+# convolutional stacks with a bounded receptive field (two 3x3 convs per
+# block, 3x3/s2 pools, bilinear 2x ups — all local), so frames differ from a
+# single frame-independent "static decode" only within the splat-target
+# bounding box dilated by the receptive radius. The crop rollout exploits
+# this: decode the full frame once, then per frame splat+decode only the
+# target bbox + a 2-radius halo and paste the bbox + 1-radius interior —
+# bit-comparable to the full-frame rollout (same math on the same operands),
+# at cost proportional to the moving region, not the frame.
+
+from typing import NamedTuple
+
+
+class CropSpec(NamedTuple):
+    """Static per-scene crop plan. (y0, x0, hc, wc) is the splat+decode
+    window; (py0, px0, ph, pw) the pasted interior, both in absolute frame
+    coordinates with paste ⊂ crop."""
+
+    y0: int
+    x0: int
+    hc: int
+    wc: int
+    py0: int
+    px0: int
+    ph: int
+    pw: int
+
+
+def decoder_receptive_radius(arch) -> int:
+    """Upper bound (full-res pixels) on a ResNet decoder's receptive-field
+    radius: two 3x3 convs per block at the block's input scale, +1 for the
+    3x3/s2 pool window of Down blocks and the 2-tap bilinear read of Up
+    blocks. +2 slack for pooled-edge rounding."""
+    scale, r = 1, 0
+    for mode in arch["upsample"]:
+        r += 2 * scale
+        if mode == "Down":
+            r += scale
+            scale *= 2
+        elif mode == "Up":
+            r += scale
+            scale = max(1, scale // 2)
+    return r + 2
+
+
+def crop_alignment(arch) -> int:
+    """Crop offsets/sizes must be multiples of the deepest cumulative
+    downsampling factor so the cropped pooling/upsampling grids coincide
+    with the full-frame ones."""
+    cur = peak = 1
+    for mode in arch["upsample"]:
+        if mode == "Down":
+            cur *= 2
+        elif mode == "Up":
+            cur = max(1, cur // 2)
+        peak = max(peak, cur)
+    return peak
+
+
+def model_crop_params(opt, slr: bool):
+    """(receptive radius, alignment) over every decoder the rollout runs."""
+    from slrsfs_tpu.nn.archs import get_resnet_arch
+
+    keys = [opt.refine_model_type]
+    if slr:
+        keys.append(opt.alpha_refine_model_type)
+    archs = [get_resnet_arch(k, opt) for k in keys]
+    return (max(decoder_receptive_radius(a) for a in archs),
+            max(crop_alignment(a) for a in archs))
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _target_bounds(positions, valid, disp_f, disp_p, height, width):
+    """Device reduction → [xlo, xhi, ylo, yhi]: inclusive bbox of every
+    bilinear splat tap of every valid moving pixel over all frames (targets
+    clipped to the grid; OOB/invalid-marker displacements contribute
+    nothing, exactly like the splat's validity weights)."""
+    ok = (valid > 0.5)[None]
+    posf = positions.astype(jnp.float32)
+
+    def ax(axis, size):
+        t = (jnp.concatenate([disp_f[..., axis], disp_p[..., axis]], axis=0)
+             + posf[:, axis][None])
+        t = jnp.clip(t, 0.0, size - 1.0)
+        lo = jnp.floor(jnp.min(jnp.where(ok, t, size - 1.0)))
+        hi = jnp.floor(jnp.max(jnp.where(ok, t, 0.0))) + 1.0
+        return lo, jnp.minimum(hi, size - 1.0)
+
+    xlo, xhi = ax(0, width)
+    ylo, yhi = ax(1, height)
+    return jnp.stack([xlo, xhi, ylo, yhi])
+
+
+def _axis_window(lo_t, hi_t, size, radius, align):
+    p_lo = max(0, lo_t - radius)
+    p_hi = min(size - 1, hi_t + radius)
+    c_lo = max(0, p_lo - radius)
+    c_lo -= c_lo % align
+    c_hi = min(size, p_hi + radius + 1)
+    c_hi = -(-c_hi // align) * align  # size % align == 0 ⇒ c_hi ≤ size
+    return c_lo, c_hi - c_lo, p_lo, p_hi - p_lo + 1
+
+
+def plan_crop(bounds, height, width, radius, align,
+              max_area_frac: float = 0.85):
+    """CropSpec from `_target_bounds` output, or None when cropping is
+    impossible (misaligned frame) or not worth it (crop ≥ max_area_frac of
+    the frame)."""
+    if height % align or width % align:
+        return None
+    xlo, xhi, ylo, yhi = [int(v) for v in np.asarray(bounds)]
+    x0, wc, px0, pw = _axis_window(xlo, xhi, width, radius, align)
+    y0, hc, py0, ph = _axis_window(ylo, yhi, height, radius, align)
+    if hc * wc >= max_area_frac * height * width:
+        return None
+    return CropSpec(y0, x0, hc, wc, py0, px0, ph, pw)
+
+
+def prepare_crop(opt, slr, flow, positions, valid, n_frames,
+                 max_area_frac: float = 0.85):
+    """Integrate the scene once and plan its crop.
+
+    Returns ``(disp, crop)``: ``disp = (disp_f, disp_p)`` device stacks to
+    pass to the sparse rollouts (which then skip their own integration) and
+    ``crop`` a CropSpec or None. One extra device→host transfer of 4 floats.
+    """
+    N = n_frames
+    H, W = flow.shape[0], flow.shape[1]
+    disp_f, disp_p = _integrate_jit(flow, positions, N - 1, N)
+    radius, align = model_crop_params(opt, slr)
+    bounds = _target_bounds(positions, valid, disp_f, disp_p, H, W)
+    crop = plan_crop(bounds, H, W, radius, align,
+                     max_area_frac=max_area_frac)
+    return (disp_f, disp_p), crop
+
+
 def _cast_for_compute(variables, img, compute_dtype):
     """Cast f32 params/activations to the compute dtype (bf16 speed mode)."""
     if compute_dtype == jnp.float32:
@@ -169,7 +314,16 @@ def _cast_for_compute(variables, img, compute_dtype):
     return variables, img.astype(compute_dtype)
 
 
-def _baseline_pack_fn(opt, fs, z, positions, valid, static_mask, splat_dtype):
+def _crop_slice(a, crop):
+    """Slice leading (H, W) dims of a 2-/3-D array to the crop window."""
+    if crop is None:
+        return a
+    y0, x0, hc, wc = crop[:4]
+    return a[y0:y0 + hc, x0:x0 + wc]
+
+
+def _baseline_pack_fn(opt, fs, z, positions, valid, static_mask, splat_dtype,
+                      positions_c=None, crop=None):
     """Per-frame packed-splat-input builder shared by the sparse and
     frame-sharded baseline rollouts.
 
@@ -178,28 +332,39 @@ def _baseline_pack_fn(opt, fs, z, positions, valid, static_mask, splat_dtype):
     closure constants); with ``use_softmax_splatter_v2`` the per-frame
     maximum-warp-norm runs sparsely from the moving set
     (ops/splat.py:maximum_warp_norm_sparse) — only e^zn changes per frame,
-    so the feature gathers are cached and rows are rebuilt per call."""
+    so the feature gathers are cached and rows are rebuilt per call.
+
+    With ``crop`` (CropSpec-style (y0, x0, hc, wc) prefix), ``static_mask``
+    lives on the crop grid and the returned dense halves are cropped; the
+    moving-set gathers stay full-grid (true ``positions``) while scatter
+    coordinates use ``positions_c`` (crop-shifted). Exact because no moving
+    splat tap lands outside the crop by construction (plan_crop)."""
+    if positions_c is None:
+        positions_c = positions
     H, W = static_mask.shape
     if not opt.use_softmax_splatter_v2:
         zn = z_normalize(opt, z, None)
-        u = pack_splat_input(fs, zn)[0].astype(splat_dtype)  # (H, W, C+1)
+        u = pack_splat_input(fs, zn)[0]  # (H, W, C+1) full grid
         # static identity: alpha·U + (1-alpha)·U = U on static pixels
-        u_static = (u * static_mask[..., None]).astype(splat_dtype)
+        u_static = (_crop_slice(u, crop)
+                    * static_mask[..., None]).astype(splat_dtype)
         u_mov = (u[positions[:, 1], positions[:, 0]]
                  * valid[:, None]).astype(splat_dtype)  # (P, C+1)
         return lambda t_disp: (u_static, u_mov)
 
     from slrsfs_tpu.ops.splat import maximum_warp_norm_sparse
 
-    z2d = z[0, ..., 0].astype(jnp.float32)
-    z_mov = z2d[positions[:, 1], positions[:, 0]]
-    fs_static = fs[0].astype(jnp.float32) * static_mask[..., None]
+    z2d_full = z[0, ..., 0].astype(jnp.float32)
+    z_mov = z2d_full[positions[:, 1], positions[:, 0]]
+    z2d = _crop_slice(z2d_full, crop)
+    fs_static = (_crop_slice(fs[0], crop).astype(jnp.float32)
+                 * static_mask[..., None])
     fs_mov = (fs[0][positions[:, 1], positions[:, 0]]
               .astype(jnp.float32) * valid[:, None])
 
     def v2_pack(t_disp):
         zmax_d, zmax_m = maximum_warp_norm_sparse(
-            z2d, static_mask, z_mov, positions, valid, t_disp, H, W)
+            z2d, static_mask, z_mov, positions_c, valid, t_disp, H, W)
         zn_d = z2d - zmax_d
         zn_m = z_mov - zmax_m
         if not opt.no_clamp_Z:
@@ -218,7 +383,8 @@ def _baseline_pack_fn(opt, fs, z, positions, valid, static_mask, splat_dtype):
 
 def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
                             positions, valid, decode_batch: int = 6,
-                            compute_dtype=jnp.float32, splat_dtype=None):
+                            compute_dtype=jnp.float32, splat_dtype=None,
+                            crop: Optional[CropSpec] = None, disp=None):
     """Sparse-splat, frame-batched-decode rollout. Exact equivalent of
     ``baseline_rollout`` when the static set truly has zero motion.
 
@@ -231,11 +397,16 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     ~390 MB/frame at 480x256 in f32) accumulates in bf16 — bilinear weights
     and the final normalization stay f32. Breaks 1e-5 parity with the dense
     reference path; rendered frames agree to ~1e-2 (tanh [-1,1] scale).
+
+    ``crop`` (from ``prepare_crop``/``plan_crop``): splat+decode only the
+    moving-region window and paste onto one full-frame static decode —
+    exact (see the crop section header), cost ∝ window area. ``disp``:
+    precomputed ``(disp_f, disp_p)`` stacks (skips in-graph integration;
+    ``prepare_crop`` already computed them).
     """
     opt = model.opt
     N = n_frames
     assert N % decode_batch == 0, (N, decode_batch)
-    v2 = opt.use_softmax_splatter_v2
 
     H, W = flow.shape[0], flow.shape[1]
 
@@ -245,16 +416,24 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     fs, z = model.apply(variables, img, method="encode")
     z = z_for_splat(opt, fs, z)
 
-    moving_mask = jnp.zeros((H, W), jnp.float32).at[
-        positions[:, 1], positions[:, 0]
+    cy0, cx0, hc, wc = (0, 0, H, W) if crop is None else crop[:4]
+    positions_c = (positions if crop is None
+                   else positions - jnp.array([[cx0, cy0]], jnp.int32))
+    moving_mask = jnp.zeros((hc, wc), jnp.float32).at[
+        positions_c[:, 1], positions_c[:, 0]
     ].max(valid)
     static_mask = 1.0 - moving_mask
 
     pack = _baseline_pack_fn(opt, fs, z, positions, valid, static_mask,
-                             splat_dtype)
+                             splat_dtype, positions_c=positions_c,
+                             crop=None if crop is None else crop[:4])
 
-    # both directions in one scan (halves the fixed per-step overhead)
-    disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
+    if disp is None:
+        # both directions in one scan (halves the fixed per-step overhead)
+        disp_f, disp_p = euler_integrate_compact_dual(flow, positions,
+                                                      N - 1, N)
+    else:
+        disp_f, disp_p = disp
 
     def frame(_, t):
         alpha = 1.0 - t.astype(jnp.float32) / N
@@ -263,8 +442,8 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
         u_static_t, u_mov_t = pack(disp_f[t])
         # both ends in ONE scatter op (per-op overhead dominates; splat.py)
         g = (softsplat_sum_at_quad_dual(
-            u_mov_t, positions, disp_f[t], disp_p[N - t],
-            alpha, 1.0 - alpha, H, W) + u_static_t).astype(jnp.float32)
+            u_mov_t, positions_c, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, hc, wc) + u_static_t).astype(jnp.float32)
         norm = jnp.maximum(g[..., -1:], 1e-8)
         return None, (g[..., :-1] / norm).astype(compute_dtype)
 
@@ -273,13 +452,27 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     # bf16) never materializes, which is what allowed decode_batch ≥ 20 at
     # 768² (db=20 OOMed with the two-phase stack: 18.5 G needed of 15.75 G)
     def chunk_body(_, tc):
-        _, gen_chunk = jax.lax.scan(frame, None, tc)  # (db, H, W, C)
-        return None, model.apply(variables, gen_chunk, method="decode")
+        _, gen_chunk = jax.lax.scan(frame, None, tc)  # (db, hc, wc, C)
+        out = model.apply(variables, gen_chunk, method="decode")
+        if crop is not None:
+            out = out[:, crop.py0 - cy0:crop.py0 - cy0 + crop.ph,
+                      crop.px0 - cx0:crop.px0 - cx0 + crop.pw]
+        return None, out
 
     _, frames = jax.lax.scan(
         chunk_body, None, jnp.arange(N).reshape(N // decode_batch,
                                                 decode_batch))
-    return frames.reshape(N, H, W, 3).astype(jnp.float32)
+    if crop is None:
+        return frames.reshape(N, H, W, 3).astype(jnp.float32)
+
+    # static frame: normalized splat field = encoder features wherever no
+    # moving tap lands (pointwise e^Z cancellation), so ONE full-frame
+    # decode of fs covers everything outside the paste window
+    dec_static = model.apply(variables, fs, method="decode")[0]
+    full = jnp.broadcast_to(dec_static.astype(jnp.float32), (N, H, W, 3))
+    patch = frames.reshape(N, crop.ph, crop.pw, 3).astype(jnp.float32)
+    return jax.lax.dynamic_update_slice(full, patch, (0, crop.py0,
+                                                      crop.px0, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -337,16 +530,22 @@ def _alpha_extras(opt, img, flow, bg_img_raw, mask_rock):
 
 
 def _slr_pack_fn(opt, fs, z, a_fl_logits, a_bg_sig, positions, valid,
-                 static_mask, splat_dtype):
+                 static_mask, splat_dtype, positions_c=None, crop=None):
     """Per-frame packed-splat-input builder for the two-layer SLR rollouts
     (shared by sparse and frame-sharded paths).
 
-    Returns (``pack(t_disp) -> (u_static, u_mov)``, use_alpha0). Non-v2:
-    frame-constant closure. v2: per-frame sparse maximum-warp-norm — the
-    packed tensor is (base channels)·e^zn on the Z-scaled channels only, so
-    base (zn = 0) is cached and rows are rebuilt per call."""
+    Returns (``pack(t_disp) -> (u_static, u_mov)``, use_alpha0, u_full):
+    ``u_full`` is the full-grid frame-independent packed field (f32), whose
+    pointwise-normalized unpack is every frame's exact value wherever no
+    moving splat tap lands — the crop rollout decodes it once as the static
+    frame. Non-v2: frame-constant closure. v2: per-frame sparse
+    maximum-warp-norm — the packed tensor is (base channels)·e^zn on the
+    Z-scaled channels only, so base (zn = 0) is cached and rows are rebuilt
+    per call. Crop semantics as in ``_baseline_pack_fn``."""
     from slrsfs_tpu.models.baseline import z_normalize
 
+    if positions_c is None:
+        positions_c = positions
     H, W = static_mask.shape
     if not opt.use_softmax_splatter_v2:
         zn = z_normalize(opt, z, None)
@@ -354,11 +553,12 @@ def _slr_pack_fn(opt, fs, z, a_fl_logits, a_bg_sig, positions, valid,
             opt, fs.astype(jnp.float32), zn.astype(jnp.float32),
             a_fl_logits.astype(jnp.float32), a_bg_sig,
         )
-        u = u[0].astype(splat_dtype)  # (H, W, C)
-        u_static = (u * static_mask[..., None]).astype(splat_dtype)
+        u = u[0]  # (H, W, C) full grid, f32
+        u_static = (_crop_slice(u, crop)
+                    * static_mask[..., None]).astype(splat_dtype)
         u_mov = (u[positions[:, 1], positions[:, 0]]
                  * valid[:, None]).astype(splat_dtype)
-        return (lambda t_disp: (u_static, u_mov)), use_alpha0
+        return (lambda t_disp: (u_static, u_mov)), use_alpha0, u
 
     from slrsfs_tpu.ops.splat import maximum_warp_norm_sparse
 
@@ -367,20 +567,21 @@ def _slr_pack_fn(opt, fs, z, a_fl_logits, a_bg_sig, positions, valid,
         jnp.zeros_like(z, dtype=jnp.float32),
         a_fl_logits.astype(jnp.float32), a_bg_sig,
     )
-    base = base[0]  # (H, W, C)
+    base = base[0]  # (H, W, C) full grid
     C = base.shape[-1]
     nfs = C - 3 if use_alpha0 else C - 2
     # channels scaled by e^Z: [fs·e^Z, af·e^C, e^C, e^Z] / [.., af·e^Z, e^Z]
     sel = (jnp.array([1.0] * nfs + [0.0, 0.0, 1.0], jnp.float32)
            if use_alpha0 else jnp.ones((C,), jnp.float32))
-    base_static = base * static_mask[..., None]
+    base_static = _crop_slice(base, crop) * static_mask[..., None]
     base_mov = base[positions[:, 1], positions[:, 0]] * valid[:, None]
-    z2d = z[0, ..., 0].astype(jnp.float32)
-    z_mov = z2d[positions[:, 1], positions[:, 0]]
+    z2d_full = z[0, ..., 0].astype(jnp.float32)
+    z_mov = z2d_full[positions[:, 1], positions[:, 0]]
+    z2d = _crop_slice(z2d_full, crop)
 
     def v2_pack(t_disp):
         zmax_d, zmax_m = maximum_warp_norm_sparse(
-            z2d, static_mask, z_mov, positions, valid, t_disp, H, W)
+            z2d, static_mask, z_mov, positions_c, valid, t_disp, H, W)
         zn_d = z2d - zmax_d
         zn_m = z_mov - zmax_m
         if not opt.no_clamp_Z:
@@ -391,14 +592,15 @@ def _slr_pack_fn(opt, fs, z, a_fl_logits, a_bg_sig, positions, valid,
         return ((base_static * e_d).astype(splat_dtype),
                 (base_mov * e_m).astype(splat_dtype))
 
-    return v2_pack, use_alpha0
+    return v2_pack, use_alpha0, base
 
 
 def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
                        positions, valid, bg_img_raw=None,
                        alpha_region=None, decode_batch: int = 20,
                        compute_dtype=jnp.float32, mask_rock=None,
-                       splat_dtype=None):
+                       splat_dtype=None, crop: Optional[CropSpec] = None,
+                       disp=None):
     """Two-layer SLR rollout (reference test_v1_4eval*.py driver semantics):
     encode + background + alpha head once, per frame symmetric double-ended
     splat of [features, fluid-alpha], decode fluid image and refined alpha,
@@ -406,7 +608,8 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
 
     ``splat_dtype=bfloat16`` is the opt-in FAST splat mode (see
     ``baseline_rollout_sparse``): scatter accumulation in bf16, weights and
-    normalization in f32.
+    normalization in f32. ``crop``/``disp``: moving-region cropped decode +
+    precomputed displacement stacks, see ``baseline_rollout_sparse``.
 
     Returns dict of stacked (N, H, W, C) outputs: PredImg, FluidImg,
     CompositeFluidAlpha (+ BGImg (H, W, 3)).
@@ -430,28 +633,37 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
     a_bg_logits, a_fl_logits = model.apply(
         variables, img, method="alpha_encode",
         **_alpha_extras(opt, img, flow, bg_img_raw, mask_rock))
-    a_bg_sig = jax.nn.sigmoid(a_bg_logits.astype(jnp.float32))
+    a_bg_logits = a_bg_logits.astype(jnp.float32)
+    a_bg_sig = jax.nn.sigmoid(a_bg_logits)
 
     splat_dtype = jnp.dtype(splat_dtype or jnp.float32)
-    moving_mask = jnp.zeros((H, W), jnp.float32).at[
-        positions[:, 1], positions[:, 0]
+    cy0, cx0, hc, wc = (0, 0, H, W) if crop is None else crop[:4]
+    positions_c = (positions if crop is None
+                   else positions - jnp.array([[cx0, cy0]], jnp.int32))
+    moving_mask = jnp.zeros((hc, wc), jnp.float32).at[
+        positions_c[:, 1], positions_c[:, 0]
     ].max(valid)
     static_mask = 1.0 - moving_mask
 
-    pack, use_alpha0 = _slr_pack_fn(opt, fs, z, a_fl_logits, a_bg_sig,
-                                    positions, valid, static_mask,
-                                    splat_dtype)
+    pack, use_alpha0, u_full = _slr_pack_fn(
+        opt, fs, z, a_fl_logits, a_bg_sig, positions, valid, static_mask,
+        splat_dtype, positions_c=positions_c,
+        crop=None if crop is None else crop[:4])
 
-    # both directions in one scan (halves the fixed per-step overhead)
-    disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
+    if disp is None:
+        # both directions in one scan (halves the fixed per-step overhead)
+        disp_f, disp_p = euler_integrate_compact_dual(flow, positions,
+                                                      N - 1, N)
+    else:
+        disp_f, disp_p = disp
 
     def frame(_, t):
         alpha = jnp.clip(1.0 - t.astype(jnp.float32) / N, ALPHA_MIN, ALPHA_MAX)
         # v2: one Z-norm from the forward flow feeds both ends
         u_static_t, u_mov_t = pack(disp_f[t])
         g = (softsplat_sum_at_quad_dual(
-            u_mov_t, positions, disp_f[t], disp_p[N - t],
-            alpha, 1.0 - alpha, H, W) + u_static_t)[None].astype(jnp.float32)
+            u_mov_t, positions_c, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, hc, wc) + u_static_t)[None].astype(jnp.float32)
         gen_fs, af_warped = slr_unpack_splatted(g, use_alpha0)
         return None, (gen_fs[0].astype(compute_dtype),
                       af_warped[0].astype(compute_dtype))
@@ -460,23 +672,70 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
     if alpha_region is not None:
         region = gaussian_blur_region(alpha_region.astype(jnp.float32), W)
 
-    # fused chunking (see baseline_rollout_sparse): splat db frames, decode
-    # them, next chunk — no full warped stack in HBM
-    img_b = jnp.broadcast_to(img, (decode_batch,) + img.shape[1:])
+    if crop is None:
+        # fused chunking (see baseline_rollout_sparse): splat db frames,
+        # decode them, next chunk — no full warped stack in HBM
+        img_b = jnp.broadcast_to(img, (decode_batch,) + img.shape[1:])
+
+        def chunk_body(_, tc):
+            _, (cf, ca) = jax.lax.scan(frame, None, tc)
+            return None, _slr_decode_chunk(model, variables, cf, ca, img_b,
+                                           a_bg_sig, a_bg_logits, bg_tanh,
+                                           region, opt)
+
+        _, (gen, fluid, comp_alpha) = jax.lax.scan(
+            chunk_body, None, jnp.arange(N).reshape(N // decode_batch,
+                                                    decode_batch))
+        return {
+            "PredImg": gen.reshape(N, H, W, 3),
+            "FluidImg": fluid.reshape(N, H, W, 3),
+            "CompositeFluidAlpha": comp_alpha.reshape(N, H, W, 1),
+            "BGImg": bg_tanh[0],
+        }
+
+    # --- cropped decode: per-frame work on the crop window only -----------
+    def cr(a):  # crop leading spatial dims of a batched (1, H, W, C) array
+        return a[:, cy0:cy0 + hc, cx0:cx0 + wc]
+
+    img_c, a_bg_sig_c, a_bg_logits_c, bg_tanh_c = (
+        cr(img), cr(a_bg_sig), cr(a_bg_logits), cr(bg_tanh))
+    region_c = None if region is None else cr(region)
+    img_b = jnp.broadcast_to(img_c, (decode_batch,) + img_c.shape[1:])
 
     def chunk_body(_, tc):
         _, (cf, ca) = jax.lax.scan(frame, None, tc)
-        return None, _slr_decode_chunk(model, variables, cf, ca, img_b,
-                                       a_bg_sig, a_bg_logits, bg_tanh,
-                                       region, opt)
+        gen, fluid, comp_alpha = _slr_decode_chunk(
+            model, variables, cf, ca, img_b, a_bg_sig_c, a_bg_logits_c,
+            bg_tanh_c, region_c, opt)
+        oy, ox = crop.py0 - cy0, crop.px0 - cx0
+        return None, tuple(
+            a[:, oy:oy + crop.ph, ox:ox + crop.pw]
+            for a in (gen, fluid, comp_alpha))
 
     _, (gen, fluid, comp_alpha) = jax.lax.scan(
         chunk_body, None, jnp.arange(N).reshape(N // decode_batch,
                                                 decode_batch))
+
+    # static frame: the frame-independent packed field u_full normalizes
+    # pointwise to every frame's exact value outside the paste window —
+    # decode + composite it ONCE at full frame
+    gen_fs_st, af_st = slr_unpack_splatted(u_full[None], use_alpha0)
+    gen_st, fluid_st, comp_st = _slr_decode_chunk(
+        model, variables, gen_fs_st.astype(compute_dtype),
+        af_st.astype(compute_dtype), img, a_bg_sig, a_bg_logits, bg_tanh,
+        region, opt)
+
+    def paste(static_im, patches, ch):
+        full = jnp.broadcast_to(static_im[0].astype(jnp.float32),
+                                (N, H, W, ch))
+        p = patches.reshape(N, crop.ph, crop.pw, ch).astype(jnp.float32)
+        return jax.lax.dynamic_update_slice(full, p, (0, crop.py0,
+                                                      crop.px0, 0))
+
     return {
-        "PredImg": gen.reshape(N, H, W, 3),
-        "FluidImg": fluid.reshape(N, H, W, 3),
-        "CompositeFluidAlpha": comp_alpha.reshape(N, H, W, 1),
+        "PredImg": paste(gen_st, gen, 3),
+        "FluidImg": paste(fluid_st, fluid, 3),
+        "CompositeFluidAlpha": paste(comp_st, comp_alpha, 1),
         "BGImg": bg_tanh[0],
     }
 
@@ -625,9 +884,9 @@ def slr_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
     moving_mask = jnp.zeros((H, W), jnp.float32).at[
         positions[:, 1], positions[:, 0]
     ].max(valid)
-    pack, use_alpha0 = _slr_pack_fn(opt, fs, z, a_fl_logits, a_bg_sig,
-                                    positions, valid, 1.0 - moving_mask,
-                                    splat_dtype)
+    pack, use_alpha0, _ = _slr_pack_fn(opt, fs, z, a_fl_logits, a_bg_sig,
+                                       positions, valid, 1.0 - moving_mask,
+                                       splat_dtype)
 
     disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
 

@@ -122,6 +122,19 @@ def get_resnet_arch(model_type: str, opt: Options, in_channels: int = 3) -> Dict
             upsample=[False, False],
             activation=["Relu", "Relu"],
         )
+    if setup == "TinyTestUpDown":
+        # TEST-ONLY setup (no reference analog): TinyTest plus one Down/Up
+        # pair in the decoder so the cropped-decode machinery's pooling
+        # alignment and receptive-radius bound are exercised at CPU-test
+        # sizes (tests/test_crop_rollout.py).
+        return dict(
+            layers_enc=[in_channels, ngf, opt.out_channel],
+            downsample=[False, False],
+            layers_dec=[ngf + opt.addtional_decoder_input, ngf, ngf, ngf,
+                        3 + opt.addtional_decoder_output],
+            upsample=[False, "Down", "Up", False],
+            activation=["Relu"] * 4,
+        )
     if setup == "TinyTestBG":
         # TEST-ONLY decoder-only table (image in, image out).
         return dict(

@@ -1,0 +1,149 @@
+"""Moving-region cropped decode (engine/rollout.py crop section).
+
+The crop rollout must be EXACT (not approximate): outside the splat-target
+bbox the pointwise normalization cancels e^Z, so frames equal one static
+decode there, and inside, the receptive-field halo guarantees the cropped
+decode reproduces the full-frame conv outputs bit-comparably. These tests
+pin (a) the receptive-radius bound empirically, (b) the window math
+invariants, and (c) cropped-vs-full equality for every rollout family
+(baseline/SLR × non-v2/v2 Z-norm) on the TinyTestUpDown arch, whose Down/Up
+pair exercises the pooling-grid alignment."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import tiny_options
+from slrsfs_tpu.engine.init_utils import jit_init, settle
+from slrsfs_tpu.engine.rollout import (
+    CropSpec,
+    baseline_rollout_sparse,
+    crop_alignment,
+    decoder_receptive_radius,
+    plan_crop,
+    prepare_crop,
+    prepare_scene_sparse,
+    slr_rollout_sparse,
+)
+from slrsfs_tpu.models.baseline import BaselineModel
+from slrsfs_tpu.models.slr import SLRModel
+from slrsfs_tpu.nn.archs import get_resnet_arch
+
+H, W, N = 64, 96, 6
+UPDOWN = "resnet_TinyTestUpDown_de_resnet_pconv2_nonorm"
+
+
+def _scene(seed=0):
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.standard_normal((1, H, W, 3)) * 0.25, jnp.float32)
+    flow_np = np.zeros((H, W, 2), np.float32)
+    flow_np[40:56, 8:32] = (
+        rng.standard_normal((16, 24, 2)).astype(np.float32) * 0.8)
+    positions, valid = prepare_scene_sparse(flow_np, pad_multiple=64)
+    return (img, jnp.asarray(flow_np), jnp.asarray(positions),
+            jnp.asarray(valid))
+
+
+def _init(model, img):
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, img, False, True)
+    return settle(model, v, (img,), n=3)
+
+
+def test_decoder_radius_bounds_empirical_rf():
+    """decoder_receptive_radius must upper-bound the true receptive field:
+    perturbing the decoder input OUTSIDE the radius of a probe pixel leaves
+    the decoded probe value unchanged (pconv mask (x != 0) included)."""
+    opt = tiny_options(refine_model_type=UPDOWN)
+    arch = get_resnet_arch(opt.refine_model_type, opt)
+    r = decoder_receptive_radius(arch)
+    assert r >= 4 and crop_alignment(arch) == 2
+
+    model = BaselineModel(opt)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 64, 64, opt.out_channel)).astype(np.float32)
+    cy = cx = 32
+    x2 = x.copy()
+    far = np.ones((64, 64), bool)
+    far[max(0, cy - r):cy + r + 1, max(0, cx - r):cx + r + 1] = False
+    x2[0, far] += rng.standard_normal((int(far.sum()),
+                                       x.shape[-1])).astype(np.float32)
+    # zero a far patch too: flips the pconv (x != 0) hole mask out there
+    x2[0, 0:8, 0:8] = 0.0
+
+    model_vars = _init(model, jnp.asarray(
+        rng.standard_normal((1, 64, 64, 3)).astype(np.float32)))
+    dec = jax.jit(lambda v, a: model.apply(v, a, method="decode"))
+    y1 = np.asarray(dec(model_vars, jnp.asarray(x)))
+    y2 = np.asarray(dec(model_vars, jnp.asarray(x2)))
+    np.testing.assert_allclose(y1[0, cy, cx], y2[0, cy, cx], atol=1e-6)
+    # sanity: the perturbation did change the output somewhere
+    assert np.abs(y1 - y2).max() > 1e-3
+
+
+def test_plan_crop_window_invariants():
+    radius, align = 10, 4
+    bounds = np.array([17.0, 40.0, 9.0, 30.0])  # xlo xhi ylo yhi
+    c = plan_crop(bounds, 64, 96, radius, align, max_area_frac=1.01)
+    assert isinstance(c, CropSpec)
+    # offsets/sizes aligned for the pooling grids
+    assert c.y0 % align == 0 and c.x0 % align == 0
+    assert c.hc % align == 0 and c.wc % align == 0
+    # paste covers bbox + radius (clipped at frame edges), crop covers
+    # paste + radius (ditto)
+    assert c.py0 == max(0, 9 - radius)
+    assert c.py0 + c.ph >= min(64, 30 + radius + 1)
+    assert c.px0 == max(0, 17 - radius)
+    assert c.px0 + c.pw >= min(96, 40 + radius + 1)
+    assert c.y0 <= max(0, c.py0 - radius)
+    assert c.y0 + c.hc >= min(64, c.py0 + c.ph + radius)
+    assert c.x0 <= max(0, c.px0 - radius)
+    assert c.x0 + c.wc >= min(96, c.px0 + c.pw + radius)
+    assert c.x0 + c.wc <= 96 and c.y0 + c.hc <= 64
+    # not worth it → None
+    assert plan_crop(bounds, 64, 96, radius, align,
+                     max_area_frac=0.1) is None
+    # misaligned frame → None
+    assert plan_crop(bounds, 63, 96, radius, align) is None
+
+
+@pytest.mark.parametrize("v2", [False, True])
+def test_baseline_crop_exact(v2):
+    opt = tiny_options(refine_model_type=UPDOWN, use_softmax_splatter_v2=v2)
+    img, flow, pos, val = _scene()
+    model = BaselineModel(opt)
+    v = _init(model, img)
+    disp, crop = prepare_crop(opt, False, flow, pos, val, N,
+                              max_area_frac=1.01)
+    assert crop is not None and crop.hc < H  # actually cropping
+    full = baseline_rollout_sparse(model, v, img, flow, N, pos, val,
+                                   decode_batch=3)
+    cropped = baseline_rollout_sparse(model, v, img, flow, N, pos, val,
+                                      decode_batch=3, crop=crop, disp=disp)
+    np.testing.assert_allclose(np.asarray(cropped), np.asarray(full),
+                               atol=2e-6)
+
+
+@pytest.mark.parametrize("v2", [False, True])
+def test_slr_crop_exact(v2):
+    opt = tiny_options(
+        refine_model_type=UPDOWN, alpha_refine_model_type=UPDOWN,
+        model_type="softmax_splating_2layers_alpha_seperate",
+        use_alpha0_as_blending_weight=True, use_softmax_splatter_v2=v2)
+    img, flow, pos, val = _scene(seed=2)
+    model = SLRModel(opt)
+    v = _init(model, img)
+    disp, crop = prepare_crop(opt, True, flow, pos, val, N,
+                              max_area_frac=1.01)
+    assert crop is not None and crop.hc < H
+    full = slr_rollout_sparse(model, v, img, flow, N, pos, val,
+                              decode_batch=3)
+    cropped = slr_rollout_sparse(model, v, img, flow, N, pos, val,
+                                 decode_batch=3, crop=crop, disp=disp)
+    assert set(full) == set(cropped)
+    for k in full:
+        np.testing.assert_allclose(np.asarray(cropped[k]),
+                                   np.asarray(full[k]), atol=2e-6,
+                                   err_msg=k)
