@@ -15,7 +15,11 @@ Additional labeled numbers in the same JSON object:
 * ``f32_fps``              — full-float32 rollout (no bf16 anywhere)
 * ``slr_fps``              — two-layer SLR model (fluid + alpha + composite)
 * ``rawsize768_fps``       — 768x768 model input, the CLAW eval protocol
-  resolution (test_animating/CLAW/test_v1.sh:19)
+  resolution (test_animating/CLAW/test_v1.sh:19), on the render CLI's
+  default path (moving-region cropped decode, --crop-decode auto), timed
+  end-to-end including the once-per-scene prepare_crop integration+bounds
+* ``rawsize768_nocrop_fps`` — same scene without the crop (in-graph
+  integration; the round-2 definition, for cross-round comparability)
 * ``slr_v2_fps``           — SLR with use_softmax_splatter_v2: the per-frame
   max-warp Z-norm now runs on the sparse path
   (ops/splat.py:maximum_warp_norm_sparse) — the speed a v2-trained
@@ -181,9 +185,36 @@ def main():
     # decode at db=5 vs 1287 at db=15, the plateau — round-3 stage
     # profile); the fused splat+decode chunking keeps it inside HBM.
     img4, flow4, pos4, val4 = _scene(rng, 768, 768, moving_frac=0.5)
-    extra("rawsize768_fps", "rawsize 768x768",
+    extra("rawsize768_nocrop_fps", "rawsize 768x768 (no crop)",
           make_run(variables, img4, flow4, pos4, val4, jnp.bfloat16, db=15,
                    sd=jnp.bfloat16))
+
+    # rawsize 768² on the render CLI's DEFAULT path (--crop-decode auto):
+    # per scene, integrate once + bound the splat targets (prepare_crop),
+    # then splat+decode only the moving-region window and paste onto one
+    # full-frame static decode. Timed END-TO-END including prepare_crop, so
+    # integration is counted exactly once, same as the in-graph nocrop
+    # number above. Exact vs nocrop up to shared-bf16 rounding (~1e-2).
+    from slrsfs_tpu.engine.rollout import prepare_crop
+
+    crop_state = {}
+
+    def run_crop768():
+        if "fn" not in crop_state:
+            _, crop = prepare_crop(opt, False, flow4, pos4, val4, N)
+            crop_state["crop"] = crop
+            crop_state["fn"] = jax.jit(
+                lambda v_, i, f, p, va, d: baseline_rollout_sparse(
+                    model, v_, i, f, N, p, va, decode_batch=30,
+                    compute_dtype=jnp.bfloat16, splat_dtype=jnp.bfloat16,
+                    crop=crop, disp=d))
+        # prepare_crop re-runs per call: its integration feeds the rollout
+        # (which skips its own), so the e2e time is honest per-scene cost
+        disp, _ = prepare_crop(opt, False, flow4, pos4, val4, N)
+        return crop_state["fn"](variables, img4, flow4, pos4, val4, disp)
+
+    extra("rawsize768_fps", "rawsize 768x768 (crop auto, e2e incl prep)",
+          run_crop768)
 
     # SLR two-layer model, bf16. Init (its ~100 s compile included) is lazy
     # so an exhausted budget skips it entirely.

@@ -28,6 +28,11 @@ class Options:
     # structural mirrors (models/motion.py) and do not read the table
     motion_refine_model_type: str = "resnet_256W4UpDown64Motion_nonorm"
     motion_model_type: str = "SPADE_unet_mask_motion"
+    # width of the motion UNets. The reference hardcodes 32
+    # (architectures.py:382,602); keep the default for parity — this knob
+    # exists so mechanics tests can shrink the 8-down/8-up graphs, whose
+    # min input (256²) makes them the suite's most expensive executions.
+    motion_num_filters: int = 32
 
     ngf: int = 64
     out_channel: int = 65  # encoder output channels incl. the +1 Z channel

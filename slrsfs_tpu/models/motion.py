@@ -217,10 +217,12 @@ class MotionRegressor(nn.Module):
     opt: Options
 
     def setup(self):
+        nf = self.opt.motion_num_filters
         if "SPADE" in resolved_motion_model_type(self.opt):
-            self.motion_predictor = SPADEUnet4MaskMotion(self.opt)
+            self.motion_predictor = SPADEUnet4MaskMotion(
+                self.opt, num_filters=nf)
         else:
-            self.motion_predictor = Unet4Motion(self.opt)
+            self.motion_predictor = Unet4Motion(self.opt, num_filters=nf)
 
     def _assemble(self, image, mask, hint):
         parts = [image]

@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from slrsfs_tpu.config import Options
+from conftest import tiny_options
 from slrsfs_tpu.engine.init_utils import settle
 from slrsfs_tpu.engine.rollout import (
     baseline_rollout,
@@ -32,19 +32,23 @@ def _run_sparse(model, N, db, sd=None):
 
 def test_sparse_equals_dense_and_bf16_splat_close():
     """(a) The sparse rollout equals the dense rollout exactly on a scene
-    with exact-zero static regions; (b) opt-in bf16 splat accumulation
-    (splat_dtype=bfloat16) stays within ~1e-2 of the exact f32-accumulated
-    sparse frames (weights and normalization stay f32 — ops/splat.py
-    _quad_rows). One shared model/init/settle: the two checks reuse the
-    same compiled sparse graph."""
+    with exact-zero static regions — engine-path equality only (parity vs
+    torch lives in test_models_parity/test_forward_flow_parity), so
+    TinyTest keeps the pconv decode semantics at ~1/30 the CPU cost;
+    (b) opt-in bf16 splat accumulation (splat_dtype=bfloat16) stays within
+    ~1e-2 of the exact f32-accumulated sparse frames (weights and
+    normalization stay f32 — ops/splat.py _quad_rows). The 1e-2 claim is
+    arch-dependent (TinyTest's 2-block decoder amplifies the splat noise
+    ~4x), so (b) runs the real 8-block ngf=16 arch — but only the two
+    sparse rollouts, never the expensive dense one."""
     rng = np.random.default_rng(11)
     H = W = 32
     N = 6
-    opt = Options(ngf=16, W=W)
+    opt = tiny_options(W=W)
     model = BaselineModel(opt)
     img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
     variables = _jit_init(model, img)
-    variables = settle(model, variables, (jnp.asarray(img),), n=8)
+    variables = settle(model, variables, (jnp.asarray(img),), n=2)
 
     flow = (rng.standard_normal((H, W, 2)) * 1.2).astype(np.float32)
     flow[: H // 2] = 0.0  # top half static
@@ -60,7 +64,17 @@ def test_sparse_equals_dense_and_bf16_splat_close():
         np.asarray(sparse), np.asarray(dense), rtol=1e-5, atol=1e-5
     )
 
-    fast = _run_sparse(model, N, 3, sd=jnp.bfloat16)(*args)
+    # (b) real arch, sparse f32 vs sparse bf16-splat
+    from slrsfs_tpu.config import Options
+
+    N = 4
+    opt = Options(ngf=16, W=W)
+    model = BaselineModel(opt)
+    variables = _jit_init(model, img)
+    variables = settle(model, variables, (jnp.asarray(img),), n=2)
+    args = (variables,) + args[1:]
+    sparse = _run_sparse(model, N, 2)(*args)
+    fast = _run_sparse(model, N, 2, sd=jnp.bfloat16)(*args)
     assert np.abs(np.asarray(sparse) - np.asarray(fast)).max() < 2e-2
 
 
@@ -115,12 +129,12 @@ def test_sparse_equals_dense_v2():
     rng = np.random.default_rng(13)
     H = W = 32
     N = 4
-    opt = Options(ngf=16, W=W, use_softmax_splatter_v2=True,
-                  use_softmax_splatter=False)
+    opt = tiny_options(W=W, use_softmax_splatter_v2=True,
+                       use_softmax_splatter=False)
     model = BaselineModel(opt)
     img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
     variables = _jit_init(model, img)
-    variables = settle(model, variables, (jnp.asarray(img),), n=8)
+    variables = settle(model, variables, (jnp.asarray(img),), n=2)
 
     flow = (rng.standard_normal((H, W, 2)) * 1.2).astype(np.float32)
     flow[: H // 2] = 0.0

@@ -51,6 +51,14 @@ def test_motion_gan_train_step():
     )
     model = MotionRegressor(opt)
     trainer = Trainer(opt, model, steps_per_epoch=10, task="motion")
+    # the production origin-D is reference-hardcoded ndf=64/n_layers=3
+    # (gan_loss.py:127-144 via trainer.py); swap in a width-8 twin for this
+    # MECHANICS test — XLA:CPU conv-backward runs ~1 GFLOP/s on the 1-core
+    # suite host, so the full-width D alone costs ~21 s/step
+    from slrsfs_tpu.nn.pix2pixhd import OriginMultiscaleDiscriminator
+
+    trainer.d_model = OriginMultiscaleDiscriminator(ndf=8, n_layers=2,
+                                                    num_D=2)
     motion = np.zeros((B, H, H, 2), np.float32)
     motion[:, H // 2 :, :, 0] = 1.0
     batch = {
