@@ -40,6 +40,10 @@ def main(argv=None):
                    help="shard the frame axis over all visible chips")
     p.add_argument("--sparsify-eps", type=float, default=0.0,
                    help="zero motion below this speed (see cli.render)")
+    p.add_argument("--crop-decode", choices=["auto", "off"], default="auto",
+                   help="moving-region cropped decode (see cli.render); "
+                        "crop plans are bucket-quantized so scenes share "
+                        "compiled rollout shapes across the sweep")
     a = p.parse_args(argv)
 
     from slrsfs_tpu.cli.render import SceneRenderer
@@ -53,7 +57,8 @@ def main(argv=None):
     # scene's device work on a background thread
     renderer = SceneRenderer(ckpt=a.ckpt, W=a.W, n_frames=a.n_frames,
                              dtype=a.dtype, shard_frames=a.shard_frames,
-                             sparsify_eps=a.sparsify_eps)
+                             sparsify_eps=a.sparsify_eps,
+                             crop_decode=a.crop_decode)
     done, skipped = 0, []
     for img_path in inputs:
         name = os.path.basename(img_path)[: -len("_input.jpg")]

@@ -270,13 +270,23 @@ def _axis_window(lo_t, hi_t, size, radius, align):
 
 
 def plan_crop(bounds, height, width, radius, align,
-              max_area_frac: float = 0.85):
+              max_area_frac: float = 0.85, bucket: int = 32):
     """CropSpec from `_target_bounds` output, or None when cropping is
     impossible (misaligned frame) or not worth it (crop ≥ max_area_frac of
-    the frame)."""
+    the frame).
+
+    ``bucket`` quantizes the target bbox outward to multiples of `bucket`
+    before the window math, so nearby scenes share one CropSpec — every
+    CropSpec field is a static jit constant, so without bucketing a
+    multi-scene sweep would recompile the rollout per scene. A larger crop
+    is still exact (the window only ever over-covers the true bbox)."""
     if height % align or width % align:
         return None
     xlo, xhi, ylo, yhi = [int(v) for v in np.asarray(bounds)]
+    if bucket > 1:
+        xlo, ylo = xlo - xlo % bucket, ylo - ylo % bucket
+        xhi = min(width - 1, xhi + (-xhi - 1) % bucket)
+        yhi = min(height - 1, yhi + (-yhi - 1) % bucket)
     x0, wc, px0, pw = _axis_window(xlo, xhi, width, radius, align)
     y0, hc, py0, ph = _axis_window(ylo, yhi, height, radius, align)
     if hc * wc >= max_area_frac * height * width:

@@ -86,7 +86,8 @@ def test_decoder_radius_bounds_empirical_rf():
 def test_plan_crop_window_invariants():
     radius, align = 10, 4
     bounds = np.array([17.0, 40.0, 9.0, 30.0])  # xlo xhi ylo yhi
-    c = plan_crop(bounds, 64, 96, radius, align, max_area_frac=1.01)
+    c = plan_crop(bounds, 64, 96, radius, align, max_area_frac=1.01,
+                  bucket=1)
     assert isinstance(c, CropSpec)
     # offsets/sizes aligned for the pooling grids
     assert c.y0 % align == 0 and c.x0 % align == 0
@@ -107,6 +108,14 @@ def test_plan_crop_window_invariants():
                      max_area_frac=0.1) is None
     # misaligned frame → None
     assert plan_crop(bounds, 63, 96, radius, align) is None
+    # bucketed plan (the default; sweeps share compiled shapes): covers the
+    # minimal plan and quantizes — nearby bboxes map to one CropSpec
+    cb = plan_crop(bounds, 64, 96, radius, align, max_area_frac=1.01)
+    assert cb.py0 <= c.py0 and cb.py0 + cb.ph >= c.py0 + c.ph
+    assert cb.px0 <= c.px0 and cb.px0 + cb.pw >= c.px0 + c.pw
+    assert cb.y0 <= cb.py0 and cb.y0 + cb.hc >= cb.py0 + cb.ph
+    assert cb == plan_crop(bounds + np.array([1.0, 1.0, 1.0, 1.0]),
+                           64, 96, radius, align, max_area_frac=1.01)
 
 
 @pytest.mark.parametrize("v2", [False, True])
