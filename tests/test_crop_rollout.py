@@ -118,41 +118,48 @@ def test_plan_crop_window_invariants():
                            64, 96, radius, align, max_area_frac=1.01)
 
 
-@pytest.mark.parametrize("v2", [False, True])
-def test_baseline_crop_exact(v2):
-    opt = tiny_options(refine_model_type=UPDOWN, use_softmax_splatter_v2=v2)
+def test_baseline_crop_exact():
+    """Cropped == full for the baseline rollout, non-v2 and v2 Z-norm.
+    Params are v2-independent, so one init serves both variants."""
     img, flow, pos, val = _scene()
-    model = BaselineModel(opt)
-    v = _init(model, img)
-    disp, crop = prepare_crop(opt, False, flow, pos, val, N,
-                              max_area_frac=1.01)
-    assert crop is not None and crop.hc < H  # actually cropping
-    full = baseline_rollout_sparse(model, v, img, flow, N, pos, val,
-                                   decode_batch=3)
-    cropped = baseline_rollout_sparse(model, v, img, flow, N, pos, val,
-                                      decode_batch=3, crop=crop, disp=disp)
-    np.testing.assert_allclose(np.asarray(cropped), np.asarray(full),
-                               atol=2e-6)
+    base = tiny_options(refine_model_type=UPDOWN)
+    v = _init(BaselineModel(base), img)
+    for v2 in (False, True):
+        opt = base.replace(use_softmax_splatter_v2=v2)
+        model = BaselineModel(opt)
+        disp, crop = prepare_crop(opt, False, flow, pos, val, N,
+                                  max_area_frac=1.01)
+        assert crop is not None and crop.hc < H  # actually cropping
+        run = jax.jit(lambda v_, c, d: baseline_rollout_sparse(
+            model, v_, img, flow, N, pos, val, decode_batch=3, crop=c,
+            disp=d), static_argnums=(1,))
+        full = run(v, None, None)
+        cropped = run(v, crop, disp)
+        np.testing.assert_allclose(np.asarray(cropped), np.asarray(full),
+                                   atol=2e-6, err_msg=f"v2={v2}")
 
 
-@pytest.mark.parametrize("v2", [False, True])
-def test_slr_crop_exact(v2):
-    opt = tiny_options(
+def test_slr_crop_exact():
+    """Cropped == full for every SLR output key, non-v2 and v2 Z-norm."""
+    img, flow, pos, val = _scene(seed=2)
+    base = tiny_options(
         refine_model_type=UPDOWN, alpha_refine_model_type=UPDOWN,
         model_type="softmax_splating_2layers_alpha_seperate",
-        use_alpha0_as_blending_weight=True, use_softmax_splatter_v2=v2)
-    img, flow, pos, val = _scene(seed=2)
-    model = SLRModel(opt)
-    v = _init(model, img)
-    disp, crop = prepare_crop(opt, True, flow, pos, val, N,
-                              max_area_frac=1.01)
-    assert crop is not None and crop.hc < H
-    full = slr_rollout_sparse(model, v, img, flow, N, pos, val,
-                              decode_batch=3)
-    cropped = slr_rollout_sparse(model, v, img, flow, N, pos, val,
-                                 decode_batch=3, crop=crop, disp=disp)
-    assert set(full) == set(cropped)
-    for k in full:
-        np.testing.assert_allclose(np.asarray(cropped[k]),
-                                   np.asarray(full[k]), atol=2e-6,
-                                   err_msg=k)
+        use_alpha0_as_blending_weight=True)
+    v = _init(SLRModel(base), img)
+    for v2 in (False, True):
+        opt = base.replace(use_softmax_splatter_v2=v2)
+        model = SLRModel(opt)
+        disp, crop = prepare_crop(opt, True, flow, pos, val, N,
+                                  max_area_frac=1.01)
+        assert crop is not None and crop.hc < H
+        run = jax.jit(lambda v_, c, d: slr_rollout_sparse(
+            model, v_, img, flow, N, pos, val, decode_batch=3, crop=c,
+            disp=d), static_argnums=(1,))
+        full = run(v, None, None)
+        cropped = run(v, crop, disp)
+        assert set(full) == set(cropped)
+        for k in full:
+            np.testing.assert_allclose(np.asarray(cropped[k]),
+                                       np.asarray(full[k]), atol=2e-6,
+                                       err_msg=f"{k} v2={v2}")

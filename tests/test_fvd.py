@@ -14,6 +14,7 @@ torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 from torch import nn  # noqa: E402
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from slrsfs_tpu.eval.i3d import (  # noqa: E402
@@ -141,7 +142,8 @@ def test_i3d_random_weight_parity():
         want = tm(torch.from_numpy(video.transpose(0, 4, 1, 2, 3))).numpy()
 
     variables = import_i3d(tm.flat_state_dict())
-    got = np.asarray(InceptionI3D().apply(variables, jnp.asarray(video)))
+    apply = jax.jit(InceptionI3D().apply)  # eager 3D convs are ~3x slower
+    got = np.asarray(apply(variables, jnp.asarray(video)))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
 
 

@@ -144,10 +144,12 @@ def test_rollout_smoke_and_frame0():
     )
     from slrsfs_tpu.engine.init_utils import settle
 
-    variables = settle(model, variables, (jnp.asarray(img),), n=8)
+    variables = settle(model, variables, (jnp.asarray(img),), n=2)
     flow = (rng.standard_normal((32, 32, 2)) * 0.8).astype(np.float32)
     N = 5
-    frames = baseline_rollout(model, variables, jnp.asarray(img), jnp.asarray(flow), N)
+    frames = jax.jit(lambda v, i, f: baseline_rollout(
+        model, v, i, f, N))(variables, jnp.asarray(img),
+                            jnp.asarray(flow))
     frames = np.asarray(frames)
     assert frames.shape == (N, 32, 32, 3)
     assert np.isfinite(frames).all()

@@ -175,24 +175,27 @@ def test_additional_arch_tables_construct():
     from slrsfs_tpu.nn.resnets import ResNetDecoder, ResNetEncoderWithZ
 
     for mt, in_w in (
-        ("resnet_256W16UpDown64_nonorm", 32),
-        ("resnet_256W5UpDown64BG_nonorm", 32),
-        ("resnet_256W8UpDown64SingleAlpha_nonorm", 32),
-        ("resnet_256W5UpDown64Layers_nonorm", 32),
-        ("resnet_256W5UpDown64_nonorm", 32),
+        ("resnet_256W16UpDown64_nonorm", 16),
+        ("resnet_256W5UpDown64BG_nonorm", 16),
+        ("resnet_256W8UpDown64SingleAlpha_nonorm", 16),
+        ("resnet_256W5UpDown64Layers_nonorm", 16),
+        ("resnet_256W5UpDown64_nonorm", 16),
     ):
-        opt = Options(ngf=16, refine_model_type=mt, addtional_decoder_output=0)
+        opt = Options(ngf=8, refine_model_type=mt, addtional_decoder_output=0)
         from slrsfs_tpu.nn.archs import get_resnet_arch
 
         arch = get_resnet_arch(mt, opt)
         dec = ResNetDecoder(opt)
         x = jnp.zeros((1, in_w, in_w, arch["layers_dec"][0]))
-        # NOTE: eager init on purpose — these are many tiny per-arch graphs
-        # where a jitted init's trace+lower outweighs eager dispatch.
-        variables = dec.init(
+        # construction + shape checks only: eval_shape traces the init and
+        # forward without executing a single FLOP (these 5 archs cost ~20 s
+        # of eager execution on the 1-core suite host otherwise)
+        variables = jax.eval_shape(
+            lambda r, a: dec.init(r, a, False, True),
             {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-            x, False, True)
-        out = dec.apply(variables, x, False, True)
+            x)
+        out = jax.eval_shape(lambda v, a: dec.apply(v, a, False, True),
+                             variables, x)
         assert out.shape[-1] == arch["layers_dec"][-1]
 
 

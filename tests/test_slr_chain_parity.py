@@ -19,6 +19,7 @@ import pytest
 torch = pytest.importorskip("torch")
 import torch.nn as tnn  # noqa: E402
 
+import jax
 import jax.numpy as jnp  # noqa: E402
 
 from oracles import euler_integration_np, maximum_warp_norm_np, splat_sum_np
@@ -201,19 +202,20 @@ def test_slr_chain_parity_v1_sparse_and_edit_region():
     pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
 
     model = SLRModel(opt)
-    frames = slr_rollout_sparse(
-        model, variables, jnp.asarray(img), jnp.asarray(flow), N,
-        jnp.asarray(pos), jnp.asarray(valid), decode_batch=3)
+    run = jax.jit(lambda v, i, f, rg: slr_rollout_sparse(
+        model, v, i, f, N, jnp.asarray(pos), jnp.asarray(valid),
+        decode_batch=3, alpha_region=rg), static_argnums=())
+    frames = jax.jit(lambda v, i, f: slr_rollout_sparse(
+        model, v, i, f, N, jnp.asarray(pos), jnp.asarray(valid),
+        decode_batch=3))(variables, jnp.asarray(img), jnp.asarray(flow))
     _check(frames, opt, mods, img, flow)
 
     # edit-region blend (:1079-1085). At W=32 the gaussian kernel is a
     # single normalized tap (k = W//20 | 1 = 1), i.e. identity — the blend
     # wiring itself is what's under test.
     region = (rng.uniform(0, 1, (H, W, 1)) > 0.5).astype(np.float32)
-    frames_r = slr_rollout_sparse(
-        model, variables, jnp.asarray(img), jnp.asarray(flow), N,
-        jnp.asarray(pos), jnp.asarray(valid), decode_batch=3,
-        alpha_region=jnp.asarray(region)[None])
+    frames_r = run(variables, jnp.asarray(img), jnp.asarray(flow),
+                   jnp.asarray(region)[None])
     _check(frames_r, opt, mods, img, flow, region=region, ts=(2,))
 
 
@@ -231,10 +233,11 @@ def test_slr_chain_parity_v2_dense_and_sparse():
     pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
 
     model = SLRModel(opt)
-    dense = slr_rollout_dense(model, variables, jnp.asarray(img),
-                              jnp.asarray(flow), N, decode_batch=3)
+    dense = jax.jit(lambda v, i, f: slr_rollout_dense(
+        model, v, i, f, N, decode_batch=3))(
+            variables, jnp.asarray(img), jnp.asarray(flow))
     _check(dense, opt, mods, img, flow, ts=(0, N - 1))
-    sparse = slr_rollout_sparse(
-        model, variables, jnp.asarray(img), jnp.asarray(flow), N,
-        jnp.asarray(pos), jnp.asarray(valid), decode_batch=3)
+    sparse = jax.jit(lambda v, i, f: slr_rollout_sparse(
+        model, v, i, f, N, jnp.asarray(pos), jnp.asarray(valid),
+        decode_batch=3))(variables, jnp.asarray(img), jnp.asarray(flow))
     _check(sparse, opt, mods, img, flow, ts=(2,))

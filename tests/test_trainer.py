@@ -260,9 +260,9 @@ def test_frame_sharded_v2_and_bf16_match_sparse():
         model,
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         img, False, True)
-    variables = settle(model, variables, (img,), n=8)
-    want = baseline_rollout_sparse(model, variables, img, flow, N, pos,
-                                   valid, decode_batch=4)
+    variables = settle(model, variables, (img,), n=2)
+    want = jax.jit(lambda v, i, f: baseline_rollout_sparse(
+        model, v, i, f, N, pos, valid, decode_batch=4))(variables, img, flow)
     run = jax.jit(lambda v, i, f, p, va: baseline_rollout_frame_sharded(
         model, v, i, f, N, p, va, mesh))
     got = run(replicate(variables, mesh), img, flow, pos, valid)
@@ -280,10 +280,11 @@ def test_frame_sharded_v2_and_bf16_match_sparse():
         slr,
         {"params": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)},
         img, False, True)
-    v2vars = settle(slr, v2vars, (img,), n=8)
-    want2 = slr_rollout_sparse(slr, v2vars, img, flow, N, pos, valid,
-                               decode_batch=4, compute_dtype=jnp.bfloat16,
-                               splat_dtype=jnp.bfloat16)
+    v2vars = settle(slr, v2vars, (img,), n=2)
+    want2 = jax.jit(lambda v, i, f: slr_rollout_sparse(
+        slr, v, i, f, N, pos, valid, decode_batch=4,
+        compute_dtype=jnp.bfloat16, splat_dtype=jnp.bfloat16))(
+            v2vars, img, flow)
     run2 = jax.jit(lambda v, i, f, p, va: slr_rollout_frame_sharded(
         slr, v, i, f, N, p, va, mesh, compute_dtype=jnp.bfloat16,
         splat_dtype=jnp.bfloat16))
