@@ -249,9 +249,15 @@ def _target_bounds(positions, valid, disp_f, disp_p, height, width):
     def ax(axis, size):
         t = (jnp.concatenate([disp_f[..., axis], disp_p[..., axis]], axis=0)
              + posf[:, axis][None])
+        # a target at t has bilinear taps floor(t), floor(t)+1; it reaches
+        # the grid only when t ∈ (-1, size). Fully-OOB targets — including
+        # sticky-invalid trajectories, whose disp is the max(H,W)+1 marker —
+        # get zero validity weight in the splat, so they must not inflate
+        # the bbox (exit-heavy scenes would otherwise lose the crop win).
+        m = ok & (t > -1.0) & (t < size)
         t = jnp.clip(t, 0.0, size - 1.0)
-        lo = jnp.floor(jnp.min(jnp.where(ok, t, size - 1.0)))
-        hi = jnp.floor(jnp.max(jnp.where(ok, t, 0.0))) + 1.0
+        lo = jnp.floor(jnp.min(jnp.where(m, t, size - 1.0)))
+        hi = jnp.floor(jnp.max(jnp.where(m, t, 0.0))) + 1.0
         return lo, jnp.minimum(hi, size - 1.0)
 
     xlo, xhi = ax(0, width)

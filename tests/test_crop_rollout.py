@@ -163,3 +163,26 @@ def test_slr_crop_exact():
             np.testing.assert_allclose(np.asarray(cropped[k]),
                                        np.asarray(full[k]), atol=2e-6,
                                        err_msg=f"{k} v2={v2}")
+
+
+def test_target_bounds_excludes_oob_trajectories():
+    """Sticky-invalid (frame-exiting) trajectories carry the max(H,W)+1
+    displacement marker and zero splat weight — they must not inflate the
+    target bbox (engine/rollout.py:_target_bounds)."""
+    from slrsfs_tpu.engine.rollout import _target_bounds
+
+    h, w = 32, 48
+    pos = jnp.asarray([[10, 12], [11, 12], [40, 20]], jnp.int32)
+    val = jnp.ones((3,), jnp.float32)
+    nf = 3
+    disp = np.zeros((nf, 3, 2), np.float32)
+    disp[:, 0] = [2.0, 3.0]     # in-grid target (12, 15)
+    disp[:, 1] = [49.0, 49.0]   # the OOB invalid marker (max(h,w)+1)
+    disp[:, 2] = [30.0, -25.0]  # genuinely fully-OOB target (70, -5)
+    disp_f = jnp.asarray(disp)
+    disp_p = jnp.asarray(disp)
+    xlo, xhi, ylo, yhi = np.asarray(
+        _target_bounds(pos, val, disp_f, disp_p, h, w))
+    # bbox = pixel 0's target taps only: x in [12, 13], y in [15, 16]
+    assert xlo == 12.0 and xhi == 13.0
+    assert ylo == 15.0 and yhi == 16.0
