@@ -203,6 +203,9 @@ def main():
         if "fn" not in crop_state:
             _, crop = prepare_crop(opt, False, flow4, pos4, val4, N)
             crop_state["crop"] = crop
+            if crop is None:  # would silently duplicate the nocrop number
+                print("# rawsize768 crop auto: plan_crop returned None — "
+                      "measuring the nocrop path", file=sys.stderr)
             crop_state["fn"] = jax.jit(
                 lambda v_, i, f, p, va, d: baseline_rollout_sparse(
                     model, v_, i, f, N, p, va, decode_batch=30,

@@ -152,8 +152,15 @@ class SceneRenderer:
         return self.variables
 
     def _rollout(self, P: int, has_region: bool, crop=None, with_disp=False):
-        """Jitted rollout for one sparse-set size bucket (and crop plan)."""
-        key = (P, has_region, crop, with_disp)
+        """Jitted rollout for one sparse-set size bucket (and crop SIZES).
+
+        Only the crop window sizes key the cache — offsets are passed as a
+        traced (4,) vector at call time, so a sweep's scenes share one
+        compiled program per bucketed window size no matter where the
+        moving region sits."""
+        key = (P, has_region,
+               None if crop is None else (crop.hc, crop.wc, crop.ph,
+                                          crop.pw), with_disp)
         if key not in self._jit_cache:
             from slrsfs_tpu.engine.rollout import (
                 baseline_rollout_frame_sharded,
@@ -193,22 +200,24 @@ class SceneRenderer:
                             mesh, compute_dtype=self.compute_dtype,
                             splat_dtype=self.splat_dtype)}))
             elif self.slr:
-                fn = jax.jit(lambda v, i, f, p, va, rg, disp=None: to_u8(
+                fn = jax.jit(lambda v, i, f, p, va, rg, disp=None,
+                             offs=None: to_u8(
                     slr_rollout_sparse(
                         self.model, v, i, f, self.n_frames, p, va,
                         decode_batch=self.decode_batch,
                         compute_dtype=self.compute_dtype,
                         splat_dtype=self.splat_dtype,
                         alpha_region=rg if has_region else None,
-                        crop=crop, disp=disp)))
+                        crop=crop, disp=disp, crop_offsets=offs)))
             else:
-                fn = jax.jit(lambda v, i, f, p, va, rg, disp=None: to_u8({
+                fn = jax.jit(lambda v, i, f, p, va, rg, disp=None,
+                             offs=None: to_u8({
                     "PredImg": baseline_rollout_sparse(
                         self.model, v, i, f, self.n_frames, p, va,
                         decode_batch=self.decode_batch,
                         compute_dtype=self.compute_dtype,
                         splat_dtype=self.splat_dtype,
-                        crop=crop, disp=disp)}))
+                        crop=crop, disp=disp, crop_offsets=offs)}))
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
@@ -305,7 +314,12 @@ class SceneRenderer:
         run = self._rollout(positions.shape[0],
                             has_region=alpha_region_path is not None,
                             crop=crop, with_disp=disp is not None)
-        if disp is not None:
+        if disp is not None and crop is not None:
+            offs = jnp.asarray([crop.y0, crop.x0, crop.py0, crop.px0],
+                               jnp.int32)
+            outs = run(variables, img, flow_d, pos_d, val_d, region, disp,
+                       offs)
+        elif disp is not None:
             outs = run(variables, img, flow_d, pos_d, val_d, region, disp)
         else:
             outs = run(variables, img, flow_d, pos_d, val_d, region)

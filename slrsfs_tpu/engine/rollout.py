@@ -289,19 +289,27 @@ def plan_crop(bounds, height, width, radius, align,
     if height % align or width % align:
         return None
     xlo, xhi, ylo, yhi = [int(v) for v in np.asarray(bounds)]
+    # no splat tap ever reaches the grid (all-static scene / everything
+    # sparsified away): _target_bounds returns inverted sentinels — every
+    # frame equals the static decode, crop is pointless (and the window
+    # math would go negative)
+    if xhi < xlo or yhi < ylo:
+        return None
     if bucket > 1:
         xlo, ylo = xlo - xlo % bucket, ylo - ylo % bucket
         xhi = min(width - 1, xhi + (-xhi - 1) % bucket)
         yhi = min(height - 1, yhi + (-yhi - 1) % bucket)
     x0, wc, px0, pw = _axis_window(xlo, xhi, width, radius, align)
     y0, hc, py0, ph = _axis_window(ylo, yhi, height, radius, align)
+    if min(hc, wc, ph, pw) <= 0:  # belt-and-suspenders vs degenerate math
+        return None
     if hc * wc >= max_area_frac * height * width:
         return None
     return CropSpec(y0, x0, hc, wc, py0, px0, ph, pw)
 
 
 def prepare_crop(opt, slr, flow, positions, valid, n_frames,
-                 max_area_frac: float = 0.85):
+                 max_area_frac: float = 0.85, bucket: int = 32):
     """Integrate the scene once and plan its crop.
 
     Returns ``(disp, crop)``: ``disp = (disp_f, disp_p)`` device stacks to
@@ -314,7 +322,7 @@ def prepare_crop(opt, slr, flow, positions, valid, n_frames,
     radius, align = model_crop_params(opt, slr)
     bounds = _target_bounds(positions, valid, disp_f, disp_p, H, W)
     crop = plan_crop(bounds, H, W, radius, align,
-                     max_area_frac=max_area_frac)
+                     max_area_frac=max_area_frac, bucket=bucket)
     return (disp_f, disp_p), crop
 
 
@@ -331,11 +339,26 @@ def _cast_for_compute(variables, img, compute_dtype):
 
 
 def _crop_slice(a, crop):
-    """Slice leading (H, W) dims of a 2-/3-D array to the crop window."""
+    """Slice leading (H, W) dims of a 2-/3-D array to the crop window
+    ``(y0, x0, hc, wc)``. Sizes are static; offsets may be TRACED scalars
+    (jax.lax.dynamic_slice), so every same-size window shares one compiled
+    program — a sweep's scenes differ in where the moving region sits far
+    more often than in its bucketed size."""
     if crop is None:
         return a
-    y0, x0, hc, wc = crop[:4]
-    return a[y0:y0 + hc, x0:x0 + wc]
+    y0, x0, hc, wc = crop
+    if a.ndim == 2:
+        return jax.lax.dynamic_slice(a, (y0, x0), (hc, wc))
+    return jax.lax.dynamic_slice(a, (y0, x0, 0), (hc, wc, a.shape[-1]))
+
+
+def _crop_scalars(crop: "CropSpec", crop_offsets):
+    """(y0, x0, py0, px0) — from the traced ``crop_offsets`` vector when
+    given (compile-shared offsets), else the CropSpec's static ints."""
+    if crop_offsets is None:
+        return crop.y0, crop.x0, crop.py0, crop.px0
+    return (crop_offsets[0], crop_offsets[1],
+            crop_offsets[2], crop_offsets[3])
 
 
 def _baseline_pack_fn(opt, fs, z, positions, valid, static_mask, splat_dtype,
@@ -400,7 +423,8 @@ def _baseline_pack_fn(opt, fs, z, positions, valid, static_mask, splat_dtype,
 def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
                             positions, valid, decode_batch: int = 6,
                             compute_dtype=jnp.float32, splat_dtype=None,
-                            crop: Optional[CropSpec] = None, disp=None):
+                            crop: Optional[CropSpec] = None, disp=None,
+                            crop_offsets=None):
     """Sparse-splat, frame-batched-decode rollout. Exact equivalent of
     ``baseline_rollout`` when the static set truly has zero motion.
 
@@ -418,7 +442,10 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     moving-region window and paste onto one full-frame static decode —
     exact (see the crop section header), cost ∝ window area. ``disp``:
     precomputed ``(disp_f, disp_p)`` stacks (skips in-graph integration;
-    ``prepare_crop`` already computed them).
+    ``prepare_crop`` already computed them). ``crop_offsets``: optional
+    TRACED (4,) int vector [y0, x0, py0, px0] overriding the CropSpec's
+    offsets — only the window SIZES stay compile-time constants, so a
+    sweep's scenes share one compiled program per bucketed size.
     """
     opt = model.opt
     N = n_frames
@@ -432,9 +459,16 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     fs, z = model.apply(variables, img, method="encode")
     z = z_for_splat(opt, fs, z)
 
-    cy0, cx0, hc, wc = (0, 0, H, W) if crop is None else crop[:4]
+    if crop is None:
+        cy0 = cx0 = cpy0 = cpx0 = 0
+        hc, wc = H, W
+    else:
+        hc, wc = crop.hc, crop.wc
+        cy0, cx0, cpy0, cpx0 = _crop_scalars(crop, crop_offsets)
     positions_c = (positions if crop is None
-                   else positions - jnp.array([[cx0, cy0]], jnp.int32))
+                   else positions - jnp.stack(
+                       [jnp.asarray(cx0, jnp.int32),
+                        jnp.asarray(cy0, jnp.int32)])[None])
     moving_mask = jnp.zeros((hc, wc), jnp.float32).at[
         positions_c[:, 1], positions_c[:, 0]
     ].max(valid)
@@ -442,7 +476,8 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
 
     pack = _baseline_pack_fn(opt, fs, z, positions, valid, static_mask,
                              splat_dtype, positions_c=positions_c,
-                             crop=None if crop is None else crop[:4])
+                             crop=None if crop is None
+                             else (cy0, cx0, hc, wc))
 
     if disp is None:
         # both directions in one scan (halves the fixed per-step overhead)
@@ -471,8 +506,9 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
         _, gen_chunk = jax.lax.scan(frame, None, tc)  # (db, hc, wc, C)
         out = model.apply(variables, gen_chunk, method="decode")
         if crop is not None:
-            out = out[:, crop.py0 - cy0:crop.py0 - cy0 + crop.ph,
-                      crop.px0 - cx0:crop.px0 - cx0 + crop.pw]
+            out = jax.lax.dynamic_slice(
+                out, (0, cpy0 - cy0, cpx0 - cx0, 0),
+                (out.shape[0], crop.ph, crop.pw, out.shape[-1]))
         return None, out
 
     _, frames = jax.lax.scan(
@@ -487,8 +523,8 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     dec_static = model.apply(variables, fs, method="decode")[0]
     full = jnp.broadcast_to(dec_static.astype(jnp.float32), (N, H, W, 3))
     patch = frames.reshape(N, crop.ph, crop.pw, 3).astype(jnp.float32)
-    return jax.lax.dynamic_update_slice(full, patch, (0, crop.py0,
-                                                      crop.px0, 0))
+    return jax.lax.dynamic_update_slice(
+        full, patch, (0, jnp.asarray(cpy0), jnp.asarray(cpx0), 0))
 
 
 # ---------------------------------------------------------------------------
@@ -616,7 +652,7 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
                        alpha_region=None, decode_batch: int = 20,
                        compute_dtype=jnp.float32, mask_rock=None,
                        splat_dtype=None, crop: Optional[CropSpec] = None,
-                       disp=None):
+                       disp=None, crop_offsets=None):
     """Two-layer SLR rollout (reference test_v1_4eval*.py driver semantics):
     encode + background + alpha head once, per frame symmetric double-ended
     splat of [features, fluid-alpha], decode fluid image and refined alpha,
@@ -624,8 +660,9 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
 
     ``splat_dtype=bfloat16`` is the opt-in FAST splat mode (see
     ``baseline_rollout_sparse``): scatter accumulation in bf16, weights and
-    normalization in f32. ``crop``/``disp``: moving-region cropped decode +
-    precomputed displacement stacks, see ``baseline_rollout_sparse``.
+    normalization in f32. ``crop``/``disp``/``crop_offsets``:
+    moving-region cropped decode, precomputed displacement stacks, and
+    traced window offsets — see ``baseline_rollout_sparse``.
 
     Returns dict of stacked (N, H, W, C) outputs: PredImg, FluidImg,
     CompositeFluidAlpha (+ BGImg (H, W, 3)).
@@ -653,9 +690,16 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
     a_bg_sig = jax.nn.sigmoid(a_bg_logits)
 
     splat_dtype = jnp.dtype(splat_dtype or jnp.float32)
-    cy0, cx0, hc, wc = (0, 0, H, W) if crop is None else crop[:4]
+    if crop is None:
+        cy0 = cx0 = cpy0 = cpx0 = 0
+        hc, wc = H, W
+    else:
+        hc, wc = crop.hc, crop.wc
+        cy0, cx0, cpy0, cpx0 = _crop_scalars(crop, crop_offsets)
     positions_c = (positions if crop is None
-                   else positions - jnp.array([[cx0, cy0]], jnp.int32))
+                   else positions - jnp.stack(
+                       [jnp.asarray(cx0, jnp.int32),
+                        jnp.asarray(cy0, jnp.int32)])[None])
     moving_mask = jnp.zeros((hc, wc), jnp.float32).at[
         positions_c[:, 1], positions_c[:, 0]
     ].max(valid)
@@ -664,7 +708,7 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
     pack, use_alpha0, u_full = _slr_pack_fn(
         opt, fs, z, a_fl_logits, a_bg_sig, positions, valid, static_mask,
         splat_dtype, positions_c=positions_c,
-        crop=None if crop is None else crop[:4])
+        crop=None if crop is None else (cy0, cx0, hc, wc))
 
     if disp is None:
         # both directions in one scan (halves the fixed per-step overhead)
@@ -711,7 +755,8 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
 
     # --- cropped decode: per-frame work on the crop window only -----------
     def cr(a):  # crop leading spatial dims of a batched (1, H, W, C) array
-        return a[:, cy0:cy0 + hc, cx0:cx0 + wc]
+        return jax.lax.dynamic_slice(
+            a, (0, cy0, cx0, 0), (a.shape[0], hc, wc, a.shape[-1]))
 
     img_c, a_bg_sig_c, a_bg_logits_c, bg_tanh_c = (
         cr(img), cr(a_bg_sig), cr(a_bg_logits), cr(bg_tanh))
@@ -723,9 +768,10 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
         gen, fluid, comp_alpha = _slr_decode_chunk(
             model, variables, cf, ca, img_b, a_bg_sig_c, a_bg_logits_c,
             bg_tanh_c, region_c, opt)
-        oy, ox = crop.py0 - cy0, crop.px0 - cx0
+        oy, ox = cpy0 - cy0, cpx0 - cx0
         return None, tuple(
-            a[:, oy:oy + crop.ph, ox:ox + crop.pw]
+            jax.lax.dynamic_slice(a, (0, oy, ox, 0),
+                                  (a.shape[0], crop.ph, crop.pw, a.shape[-1]))
             for a in (gen, fluid, comp_alpha))
 
     _, (gen, fluid, comp_alpha) = jax.lax.scan(
@@ -745,8 +791,8 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
         full = jnp.broadcast_to(static_im[0].astype(jnp.float32),
                                 (N, H, W, ch))
         p = patches.reshape(N, crop.ph, crop.pw, ch).astype(jnp.float32)
-        return jax.lax.dynamic_update_slice(full, p, (0, crop.py0,
-                                                      crop.px0, 0))
+        return jax.lax.dynamic_update_slice(
+            full, p, (0, jnp.asarray(cpy0), jnp.asarray(cpx0), 0))
 
     return {
         "PredImg": paste(gen_st, gen, 3),

@@ -186,3 +186,73 @@ def test_target_bounds_excludes_oob_trajectories():
     # bbox = pixel 0's target taps only: x in [12, 13], y in [15, 16]
     assert xlo == 12.0 and xhi == 13.0
     assert ylo == 15.0 and yhi == 16.0
+
+
+def test_all_static_scene_yields_no_crop():
+    """Zero-motion scene (or --sparsify-eps zeroing everything): plan_crop
+    must return None, not a degenerate negative-size CropSpec (review
+    finding: the area gate passed for the product of two negatives and the
+    render CLI's default crop path crashed)."""
+    flow_np = np.zeros((H, W, 2), np.float32)
+    positions, valid = prepare_scene_sparse(flow_np, pad_multiple=64)
+    opt = tiny_options(refine_model_type=UPDOWN)
+    disp, crop = prepare_crop(opt, False, jnp.asarray(flow_np),
+                              jnp.asarray(positions), jnp.asarray(valid), N)
+    assert crop is None
+    # and the renderer's fallback (crop=None) still rolls out fine
+    model = BaselineModel(opt)
+    img = jnp.zeros((1, H, W, 3), jnp.float32)
+    v = _init(model, img)
+    frames = jax.jit(lambda v_: baseline_rollout_sparse(
+        model, v_, img, jnp.asarray(flow_np), N, jnp.asarray(positions),
+        jnp.asarray(valid), decode_batch=3, crop=crop, disp=disp))(v)
+    assert np.isfinite(np.asarray(frames)).all()
+
+
+def test_traced_offsets_share_one_compile():
+    """Same bucketed window SIZES at different locations must reuse ONE
+    compiled rollout (offsets ride a traced (4,) vector; review finding:
+    static offsets recompiled a sweep per scene) and stay exact."""
+    # plain TinyTest (radius 6, align 1): window sizes stay interior so
+    # the shifted scene keeps identical bucketed sizes. bucket=8 for the
+    # small test frame (the production default of 32 needs CLAW-size
+    # frames to leave room between the bbox and the edges).
+    base_opt = tiny_options()
+    model = BaselineModel(base_opt)
+    rng = np.random.default_rng(3)
+    img_np = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
+
+    def scene(dy, dx):
+        img_s = np.roll(img_np, (dy, dx), axis=(1, 2))
+        flow_np = np.zeros((H, W, 2), np.float32)
+        flow_np[24 + dy:32 + dy, 24 + dx:40 + dx, 0] = 0.6
+        pos, val = prepare_scene_sparse(flow_np, pad_multiple=64)
+        return (jnp.asarray(img_s), jnp.asarray(flow_np),
+                jnp.asarray(pos), jnp.asarray(val))
+
+    img0, flow0, pos0, val0 = scene(0, 0)
+    v = _init(model, img0)
+    disp0, crop0 = prepare_crop(base_opt, False, flow0, pos0, val0, N,
+                                max_area_frac=1.01, bucket=8)
+    assert crop0 is not None
+
+    run = jax.jit(
+        lambda v_, i, f, p, va, d, offs: baseline_rollout_sparse(
+            model, v_, i, f, N, p, va, decode_batch=3, crop=crop0,
+            disp=d, crop_offsets=offs))
+    full = jax.jit(lambda v_, i, f, p, va: baseline_rollout_sparse(
+        model, v_, i, f, N, p, va, decode_batch=3))
+
+    for dy, dx in ((0, 0), (8, 32)):
+        img, flow, pos, val = scene(dy, dx)
+        disp, crop = prepare_crop(base_opt, False, flow, pos, val, N,
+                                  max_area_frac=1.01, bucket=8)
+        assert (crop.hc, crop.wc, crop.ph, crop.pw) == (
+            crop0.hc, crop0.wc, crop0.ph, crop0.pw), (crop, crop0)
+        offs = jnp.asarray([crop.y0, crop.x0, crop.py0, crop.px0],
+                           jnp.int32)
+        got = run(v, img, flow, pos, val, disp, offs)
+        want = full(v, img, flow, pos, val)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6, err_msg=str((dy, dx)))
+    assert run._cache_size() == 1  # one trace served both locations
