@@ -36,10 +36,14 @@ def main(argv=None):
     from slrsfs_tpu.eval.metrics import PerceptualMetrics
 
     metrics = PerceptualMetrics(a.vgg16_pth, a.alexnet_pth, a.lpips_pth)
+    # resolve the output path ONCE so the FVD augmentation below rewrites
+    # the same file eval_claw_dir wrote (not a second default-path copy)
+    out_json = a.out or os.path.join(
+        a.pred_dir, "..", "metric_fluid.json" if a.fluid else "metric.json")
     results = eval_claw_dir(
         a.pred_dir, a.gt_dir, metrics=metrics, fluid=a.fluid,
         flow_dir=a.flow_dir, input_dir=a.input_dir, n_frames=a.n_frames,
-        out_json=a.out, gt_suffix=a.gt_suffix,
+        out_json=out_json, gt_suffix=a.gt_suffix,
     )
     if a.i3d_pth:
         from slrsfs_tpu.eval.i3d import FVD
@@ -48,8 +52,6 @@ def main(argv=None):
         results["TotalFVD"] = eval_fvd_dir(a.pred_dir, a.gt_dir, fvd,
                                            n_frames=a.n_frames,
                                            gt_suffix=a.gt_suffix)
-        out_json = a.out or os.path.join(
-            a.pred_dir, "..", "metric_fluid.json" if a.fluid else "metric.json")
         with open(out_json, "w") as f:
             json.dump(results, f)
     agg = {k: v for k, v in results.items()

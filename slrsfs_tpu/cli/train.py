@@ -55,27 +55,42 @@ def _to_device_batch(batch):
     return out
 
 
-def attach_moving_sets(batch, max_frac: float = 0.5):
+def attach_moving_sets(batch, max_frac: float = 0.5, state=None):
     """Host-side moving-pixel sets for the compact training integration
     (models/baseline.py:train_integrate).
 
     Adds ``mov_pos`` (B, P, 2) int32 [x, y] / ``mov_valid`` (B, P) float32
-    with P a power-of-two bucket (so the jitted step recompiles at most
-    log2 times, not per batch). Returns the batch unchanged when the
+    with P a power-of-two bucket. Returns the batch unchanged when the
     largest sample's moving fraction exceeds ``max_frac`` — there the
-    dense phased scan is no slower and needs no scatter-back."""
+    dense phased scan is no slower and needs no scatter-back.
+
+    ``state`` (a dict the caller keeps across batches) makes the decision
+    STICKY for a run: the first batch picks sparse-vs-dense and the P
+    bucket only ever grows. Without it, data hovering around ``max_frac``
+    would alternate batch structures and recompile the full G+D train-step
+    graph per combination (each compile is minutes on a cold cache); with
+    it the step retraces at most log2(H·W/1024) times."""
     m = np.asarray(batch["motions"])
     flow = m[..., :2] * m[..., 2:3] if m.shape[-1] == 3 else m  # uv·m fold
     moving = np.any(flow != 0.0, axis=-1)  # (B, H, W)
     B, H, W = moving.shape
     counts = moving.reshape(B, -1).sum(1)
     need = int(counts.max())
-    if need > max_frac * H * W:
+    if state is not None and "mode" not in state:
+        state["mode"] = ("dense" if need > max_frac * H * W else "sparse")
+    if state is not None:
+        if state["mode"] == "dense":
+            return batch
+        # sticky sparse: oversized batches ride the compact path at full
+        # capacity (cost ≈ dense scan + scatter-back; no structure flip)
+    elif need > max_frac * H * W:
         return batch
-    P = 1024
+    P = max(1024, state.get("P", 0) if state is not None else 0)
     while P < need:
         P *= 2
     P = min(P, H * W)
+    if state is not None:
+        state["P"] = P
     pos = np.zeros((B, P, 2), np.int32)
     val = np.zeros((B, P), np.float32)
     for b in range(B):
@@ -397,13 +412,17 @@ def main(argv=None):
                       "softmax_splating_2layers_alpha_seperate")
                      and not a.embed_motion)
 
+    # sticky across EPOCHS too: one sparse-vs-dense decision + a monotone
+    # P bucket for the whole run (see attach_moving_sets)
+    mov_state = {}
+
     def _micro_batches(it):
         """Group the stream into accum-sized micro-batch lists (reference
         num_accumulations loop, base_model.py:95-163)."""
         group = []
         for b in it:
             if sparse_motion:
-                b = attach_moving_sets(b)
+                b = attach_moving_sets(b, state=mov_state)
             group.append(_to_device_batch(b))
             if len(group) == accum:
                 yield group if accum > 1 else group[0]

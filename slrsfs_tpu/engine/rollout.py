@@ -326,6 +326,51 @@ def prepare_crop(opt, slr, flow, positions, valid, n_frames,
     return (disp_f, disp_p), crop
 
 
+
+def _static_zn_full(opt, z, positions, valid, height, width):
+    """Frame-constant Z-norm of the STATIC field on the full grid.
+
+    non-v2: the global z_normalize (what the pack uses). v2: the
+    maximum-warp-norm's static-only stencil — moving rows disabled
+    (valid=0, disp=0); exact outside the splat-target bbox, and inside it
+    the paste overwrites the static decode anyway."""
+    from slrsfs_tpu.models.baseline import z_normalize
+
+    if not opt.use_softmax_splatter_v2:
+        return z_normalize(opt, z, None)[0]
+    from slrsfs_tpu.ops.splat import maximum_warp_norm_sparse
+
+    z2d = z[0, ..., 0].astype(jnp.float32)
+    moving = jnp.zeros((height, width), jnp.float32).at[
+        positions[:, 1], positions[:, 0]].max(valid)
+    zmax_d, _ = maximum_warp_norm_sparse(
+        z2d, 1.0 - moving, z2d[positions[:, 1], positions[:, 0]],
+        positions, jnp.zeros_like(valid),
+        jnp.zeros((positions.shape[0], 2), jnp.float32), height, width)
+    zn = z2d - zmax_d
+    if not opt.no_clamp_Z:
+        zn = jnp.clip(zn, -20.0, 20.0)
+    return zn[..., None]
+
+
+def _baseline_static_decode_input(opt, fs, z, positions, valid,
+                                  height, width, splat_dtype):
+    """Full-grid frame-independent NORMALIZED splat field for the crop
+    rollout's static decode.
+
+    decode(fs) would be exact only while e^zn stays above NORM_EPS: the Z
+    clamp allows zn = −20 < ln(1e-8), where the full-frame path outputs
+    fs·e^zn/NORM_EPS — NOT fs. This mirrors the per-frame static math
+    bit-for-bit, including the splat_dtype rounding of the packed rows."""
+    from slrsfs_tpu.models.baseline import NORM_EPS
+
+    zn = _static_zn_full(opt, z, positions, valid, height, width)
+    e = jnp.exp(zn.astype(jnp.float32))
+    u = jnp.concatenate([fs[0].astype(jnp.float32) * e, e], axis=-1)
+    u = u.astype(splat_dtype).astype(jnp.float32)
+    return (u[..., :-1] / jnp.maximum(u[..., -1:], NORM_EPS))[None]
+
+
 def _cast_for_compute(variables, img, compute_dtype):
     """Cast f32 params/activations to the compute dtype (bf16 speed mode)."""
     if compute_dtype == jnp.float32:
@@ -517,10 +562,15 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     if crop is None:
         return frames.reshape(N, H, W, 3).astype(jnp.float32)
 
-    # static frame: normalized splat field = encoder features wherever no
-    # moving tap lands (pointwise e^Z cancellation), so ONE full-frame
-    # decode of fs covers everything outside the paste window
-    dec_static = model.apply(variables, fs, method="decode")[0]
+    # static frame: the normalized splat field is frame-constant wherever
+    # no moving tap lands, so ONE full-frame decode covers everything
+    # outside the paste window. The field is fs·e^zn/max(e^zn, NORM_EPS) —
+    # equal to fs except where the epsilon floor engages (zn < ln(1e-8))
+    dec_static = model.apply(
+        variables,
+        _baseline_static_decode_input(opt, fs, z, positions, valid, H, W,
+                                      splat_dtype).astype(compute_dtype),
+        method="decode")[0]
     full = jnp.broadcast_to(dec_static.astype(jnp.float32), (N, H, W, 3))
     patch = frames.reshape(N, crop.ph, crop.pw, 3).astype(jnp.float32)
     return jax.lax.dynamic_update_slice(
@@ -780,8 +830,22 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
 
     # static frame: the frame-independent packed field u_full normalizes
     # pointwise to every frame's exact value outside the paste window —
-    # decode + composite it ONCE at full frame
-    gen_fs_st, af_st = slr_unpack_splatted(u_full[None], use_alpha0)
+    # decode + composite it ONCE at full frame. v2 packs u_full with
+    # zn = 0, so re-apply the static-stencil e^zn on the Z-scaled channels
+    # (sel) — without it the NORM_EPS floor (zn < ln(1e-8), reachable
+    # under the ±20 clamp) would diverge from the per-frame path. The
+    # splat_dtype round-trip mirrors the per-frame rows bit-for-bit.
+    u_st = u_full
+    if opt.use_softmax_splatter_v2:
+        C = u_full.shape[-1]
+        nfs = C - 3 if use_alpha0 else C - 2
+        sel = (jnp.array([1.0] * nfs + [0.0, 0.0, 1.0], jnp.float32)
+               if use_alpha0 else jnp.ones((C,), jnp.float32))
+        zn_st = _static_zn_full(opt, z, positions, valid, H, W)
+        e_st = jnp.exp(zn_st.astype(jnp.float32)) * sel + (1.0 - sel)
+        u_st = u_full * e_st
+    u_st = u_st.astype(splat_dtype).astype(jnp.float32)
+    gen_fs_st, af_st = slr_unpack_splatted(u_st[None], use_alpha0)
     gen_st, fluid_st, comp_st = _slr_decode_chunk(
         model, variables, gen_fs_st.astype(compute_dtype),
         af_st.astype(compute_dtype), img, a_bg_sig, a_bg_logits, bg_tanh,

@@ -115,21 +115,24 @@ def profile_baseline_stages(model, variables, img, flow, positions, valid,
 
     @jax.jit
     def f_full(v, i, f, p, va):
-        # mirror the real rollout's FUSED chunking (engine/rollout.py):
-        # splat decode_batch frames, decode them, next chunk
+        # mirror the real rollout's FUSED chunking (engine/rollout.py).
+        # NOTE: p must be TRACED here exactly like in f_splat — baking
+        # positions in as a constant would let XLA constant-fold under a
+        # different regime and skew the t_decoder = f_full − f_splat
+        # prefix difference.
         fs, z = model.apply(v, i, method="encode")
         z = z_for_splat(opt, fs, z)
         moving_mask = jnp.zeros((H, W), jnp.float32).at[
-            positions[:, 1], positions[:, 0]].max(va)
-        pack = _baseline_pack_fn(opt, fs, z, positions, va,
+            p[:, 1], p[:, 0]].max(va)
+        pack = _baseline_pack_fn(opt, fs, z, p, va,
                                  1.0 - moving_mask, sdt)
-        disp_f, disp_p = euler_integrate_compact_dual(f, positions, N - 1, N)
+        disp_f, disp_p = euler_integrate_compact_dual(f, p, N - 1, N)
 
         def frame(_, t):
             alpha = 1.0 - t.astype(jnp.float32) / N
             u_static_t, u_mov_t = pack(disp_f[t])
             g = (softsplat_sum_at_quad_dual(
-                u_mov_t, positions, disp_f[t], disp_p[N - t],
+                u_mov_t, p, disp_f[t], disp_p[N - t],
                 alpha, 1.0 - alpha, H, W) + u_static_t).astype(jnp.float32)
             norm = jnp.maximum(g[..., -1:], 1e-8)
             return None, (g[..., :-1] / norm).astype(compute_dtype)

@@ -212,7 +212,13 @@ class Trainer:
         def g_value_grad(g_params, g_stats, g_spectral, d_params, d_spectral,
                          batch, rng, step):
             middle = self._target(batch)
-            batch_c = _cast(batch, cd)
+            # 'motions' stays f32: Euler integration iterates pixel
+            # COORDINATES through the flow field, and bf16's 8-bit mantissa
+            # quantizes coordinates >= 128 to whole pixels at the shipped
+            # W=256 — the inference speed mode makes the same exception
+            # (engine/rollout.py:_cast_for_compute casts params+img only)
+            batch_c = {k: (v if k == "motions" else _cast(v, cd))
+                       for k, v in batch.items()}
 
             def g_loss_fn(gp):
                 g_vars = {

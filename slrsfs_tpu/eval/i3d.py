@@ -221,9 +221,8 @@ class FVD:
     :meth:`available` is False and callers should skip the metric (same
     convention as eval/metrics.py for LPIPS)."""
 
-    def __init__(self, i3d_pth: str = None, batch: int = 1):
+    def __init__(self, i3d_pth: str = None):
         self.vars = None
-        self.batch = batch
         self.model = InceptionI3D()
         if i3d_pth:
             import torch

@@ -91,7 +91,7 @@ def pack_splat_input(fs: Array, z_norm: Array) -> Array:
     The per-frame temporal weight α is a scalar; since the splat is linear it
     is applied *after* splatting (exact algebraic identity with the reference,
     which packs fs·e^Z·α)."""
-    ez = jnp.exp(z_norm)
+    ez = jnp.exp(z_norm).astype(fs.dtype)  # zn may be f32 (f32 flow path)
     return jnp.concatenate([fs * ez, ez], axis=-1)
 
 

@@ -88,8 +88,12 @@ def _splat_sum_single(inp: Array, flow: Array) -> Array:
     H, W, C = inp.shape
     HW = H * W
     corners = _corners(flow)
+    # weights are computed at flow precision (f32) and cast to inp.dtype:
+    # a bf16 inp with f32 flow accumulates in bf16 WITHOUT quantizing the
+    # bilinear weight math (mirrors _quad_rows on the sparse path)
     upd = jnp.concatenate(
-        [(inp * jnp.where(valid, w, 0.0)[..., None]).reshape(-1, C)
+        [(inp * jnp.where(valid, w, 0.0).astype(inp.dtype)[..., None]
+          ).reshape(-1, C)
          for _cx, _cy, w, valid in corners],
         axis=-1,
     )  # (HW, 4C) in corner order NW, NE, SW, SE
@@ -113,18 +117,22 @@ def _splat_grad_single(inp: Array, flow: Array, g: Array):
     H, W, C = inp.shape
     gflat = g.reshape(H * W, C)
     dwdx, dwdy = _corner_weight_grads(flow)
-    grad_inp = jnp.zeros_like(inp)
+    # accumulate both cotangents in f32 (weights/inner products at flow
+    # precision), cast grad_inp back to inp.dtype at the end — custom_vjp
+    # requires cotangent dtypes to match the primals exactly, including
+    # the mixed bf16-inp/f32-flow training mode
+    grad_inp = jnp.zeros(inp.shape, jnp.float32)
     gfx = jnp.zeros((H, W), flow.dtype)
     gfy = jnp.zeros((H, W), flow.dtype)
     for (cx, cy, w, valid), dwx, dwy in zip(_corners(flow), dwdx, dwdy):
         lin = jnp.clip(cy, 0, H - 1) * W + jnp.clip(cx, 0, W - 1)
         g_at = gflat[lin.reshape(-1)].reshape(H, W, C)
-        g_at = jnp.where(valid[..., None], g_at, 0.0)
-        grad_inp = grad_inp + g_at * w[..., None]
-        inner = jnp.sum(inp * g_at, axis=-1)  # channel sum
-        gfx = gfx + inner * dwx
-        gfy = gfy + inner * dwy
-    return grad_inp, jnp.stack([gfx, gfy], axis=-1)
+        g_at = jnp.where(valid[..., None], g_at, 0.0).astype(jnp.float32)
+        grad_inp = grad_inp + g_at * w.astype(jnp.float32)[..., None]
+        inner = jnp.sum(inp.astype(jnp.float32) * g_at, axis=-1)
+        gfx = gfx + (inner * dwx).astype(flow.dtype)
+        gfy = gfy + (inner * dwy).astype(flow.dtype)
+    return grad_inp.astype(inp.dtype), jnp.stack([gfx, gfy], axis=-1)
 
 
 @jax.custom_vjp

@@ -256,3 +256,58 @@ def test_traced_offsets_share_one_compile():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-6, err_msg=str((dy, dx)))
     assert run._cache_size() == 1  # one trace served both locations
+
+
+@pytest.mark.parametrize("v2", [False, True])
+def test_static_decode_input_matches_frame_math_at_eps_floor(v2):
+    """The crop rollout's static decode input must equal the per-frame
+    static splat math INCLUDING the NORM_EPS floor: with a Z range wider
+    than ln(1e-8) ≈ 18.4 (the ±20 clamp allows it), deep-negative-zn
+    pixels output fs·e^zn/eps, not fs — decode(fs) was wrong there
+    (review finding)."""
+    from slrsfs_tpu.engine.rollout import (
+        _baseline_pack_fn,
+        _baseline_static_decode_input,
+    )
+    from slrsfs_tpu.models.baseline import NORM_EPS
+
+    rng = np.random.default_rng(7)
+    h, w, C = 24, 32, 5
+    opt = tiny_options(use_softmax_splatter_v2=v2)
+    fs = jnp.asarray(rng.standard_normal((1, h, w, C)), jnp.float32)
+    z_np = rng.standard_normal((1, h, w, 1)).astype(np.float32)
+    z_np[:, :8] += 30.0    # global max up top: non-v2 zn < -20 elsewhere
+    z_np[:, 18:] -= 25.0   # v2's max-warp-norm is LOCAL (own cell vs the
+    # 0-contributions of W/N/NW neighbors), so its floor needs z itself
+    # below -20 in a static strip
+    z = jnp.asarray(z_np)
+
+    flow_np = np.zeros((h, w, 2), np.float32)
+    flow_np[10:14, 10:18] = 0.7
+    pos, val = prepare_scene_sparse(flow_np, pad_multiple=64)
+    pos, val = jnp.asarray(pos), jnp.asarray(val)
+
+    moving = np.zeros((h, w), np.float32)
+    p, v = np.asarray(pos), np.asarray(val)
+    moving[p[v > 0.5, 1], p[v > 0.5, 0]] = 1.0
+    static_mask = jnp.asarray(1.0 - moving)
+
+    # per-frame static half from the real pack fn (zero displacement —
+    # static pixels' packed value is frame-constant), normalized the way
+    # the frame fn does
+    pack = _baseline_pack_fn(opt, fs, z, pos, val, static_mask,
+                             jnp.dtype(jnp.float32))
+    u_static, _ = pack(jnp.zeros((pos.shape[0], 2), jnp.float32))
+    g = jnp.asarray(u_static, jnp.float32)
+    want = np.asarray(g[..., :-1] / jnp.maximum(g[..., -1:], NORM_EPS))
+
+    got = np.asarray(_baseline_static_decode_input(
+        opt, fs, z, pos, val, h, w, jnp.dtype(jnp.float32))[0])
+
+    static = (1.0 - moving).astype(bool)
+    np.testing.assert_allclose(got[static], want[static],
+                               rtol=1e-6, atol=1e-6)
+    # the floor must actually have engaged somewhere static — and there
+    # the field is NOT the raw encoder features
+    diff = np.abs(got - np.asarray(fs[0]))[static]
+    assert diff.max() > 0.5, "test scene failed to engage the eps floor"

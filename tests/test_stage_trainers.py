@@ -122,3 +122,39 @@ def test_fixmotion_finetune_step():
     e0 = jax.tree.leaves(state.g_params["encoder"])[0]
     e1 = jax.tree.leaves(new_state.g_params["encoder"])[0]
     assert not np.allclose(np.asarray(e0), np.asarray(e1))
+
+
+def test_attach_moving_sets_sticky_state():
+    """With a run-level state dict, the sparse/dense decision and the P
+    bucket are sticky: data hovering around max_frac must not alternate
+    batch structures (each structure change recompiles the full train-step
+    graph — review finding)."""
+    from slrsfs_tpu.cli.train import attach_moving_sets
+
+    H = W = 32
+
+    def batch(frac):
+        m = np.zeros((1, H, W, 2), np.float32)
+        m[:, : int(H * frac)] = 1.0
+        return {"motions": m}
+
+    state = {}
+    b1 = attach_moving_sets(batch(0.25), max_frac=0.5, state=state)
+    assert "mov_pos" in b1 and state["mode"] == "sparse"
+    p1 = b1["mov_pos"].shape[1]
+    # a later batch OVER the threshold keeps the sparse structure
+    b2 = attach_moving_sets(batch(0.9), max_frac=0.5, state=state)
+    assert "mov_pos" in b2
+    assert b2["mov_pos"].shape[1] >= p1
+    # bucket never shrinks back
+    b3 = attach_moving_sets(batch(0.1), max_frac=0.5, state=state)
+    assert b3["mov_pos"].shape[1] == b2["mov_pos"].shape[1]
+    # dense-first run: sticky dense
+    state2 = {}
+    d1 = attach_moving_sets(batch(0.9), max_frac=0.5, state=state2)
+    assert "mov_pos" not in d1 and state2["mode"] == "dense"
+    d2 = attach_moving_sets(batch(0.1), max_frac=0.5, state=state2)
+    assert "mov_pos" not in d2
+    # stateless call keeps the old per-batch behavior (tests/parity use it)
+    assert "mov_pos" in attach_moving_sets(batch(0.25), max_frac=0.5)
+    assert "mov_pos" not in attach_moving_sets(batch(0.9), max_frac=0.5)

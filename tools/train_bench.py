@@ -66,15 +66,6 @@ def time_step(trainer, model_step, state, batch, runs):
     return min(times), compile_s
 
 
-def build_step(opt, T, steps_per_epoch=500):
-    from slrsfs_tpu.engine.trainer import Trainer
-    from slrsfs_tpu.models.baseline import BaselineTrainable
-
-    model = BaselineTrainable(opt, train_max_steps=T)
-    trainer = Trainer(opt, model, steps_per_epoch=steps_per_epoch)
-    return trainer, None
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("B", nargs="?", type=int, default=16)
