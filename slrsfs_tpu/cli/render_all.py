@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
 
 
@@ -40,6 +41,9 @@ def main(argv=None):
                    help="shard the frame axis over all visible chips")
     p.add_argument("--sparsify-eps", type=float, default=0.0,
                    help="zero motion below this speed (see cli.render)")
+    p.add_argument("--opt-overrides", default=None,
+                   help="JSON dict of Options fields overriding the "
+                        "checkpoint/default config (tests + ablations)")
     p.add_argument("--crop-decode", choices=["auto", "off"], default="auto",
                    help="moving-region cropped decode (see cli.render); "
                         "crop plans are bucket-quantized so scenes share "
@@ -58,7 +62,9 @@ def main(argv=None):
     renderer = SceneRenderer(ckpt=a.ckpt, W=a.W, n_frames=a.n_frames,
                              dtype=a.dtype, shard_frames=a.shard_frames,
                              sparsify_eps=a.sparsify_eps,
-                             crop_decode=a.crop_decode)
+                             crop_decode=a.crop_decode,
+                             opt_overrides=(json.loads(a.opt_overrides)
+                                            if a.opt_overrides else None))
     done, skipped = 0, []
     for img_path in inputs:
         name = os.path.basename(img_path)[: -len("_input.jpg")]

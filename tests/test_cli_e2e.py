@@ -140,3 +140,46 @@ def test_scene_stats_and_sparsify_eps():
     moving_before = float((speed > 0).mean())
     moving_after = float((np.abs(sparsified).sum(-1) > 0).mean())
     assert moving_after < moving_before
+
+
+def test_render_all_sweep(fixture_root, tmp_path):
+    """The scene-loop CLI (reference test_all_*_scenes.py equivalent):
+    two scenes through ONE renderer — shared jit cache, crop auto engaged,
+    index-range sharding honored, per-scene PredImg dirs + mp4s."""
+    from slrsfs_tpu.cli import render_all
+    from slrsfs_tpu.data.video import VideoReader
+
+    scenes_dir = str(tmp_path / "scenes")
+    os.makedirs(scenes_dir)
+    for scene in ("00001_00000", "00002_00000"):
+        vr = VideoReader(os.path.join(fixture_root, "train",
+                                      f"{scene}_gt.mp4"))
+        Image.fromarray(vr[0]).save(
+            os.path.join(scenes_dir, f"{scene}_input.jpg"))
+        vr.close()
+        os.symlink(
+            os.path.join(fixture_root, "train", f"{scene}_motion.npz"),
+            os.path.join(scenes_dir, f"{scene}_motion.npz"))
+
+    save_dir = str(tmp_path / "out")
+    tiny = ('{"ngf": 8, "out_channel": 9, "refine_model_type": '
+            '"resnet_TinyTest_de_resnet_pconv2_nonorm"}')
+    render_all.main([
+        scenes_dir, save_dir, "--W", "32", "--n-frames", "6",
+        "--dtype", "float32", "--flow-suffix", "_motion.npz",
+        "--opt-overrides", tiny,
+    ])
+    for scene in ("00001_00000", "00002_00000"):
+        frames = sorted(os.listdir(os.path.join(save_dir, scene, "PredImg")))
+        assert len(frames) == 6, scene
+        assert any(f.endswith(".mp4")
+                   for f in os.listdir(os.path.join(save_dir, scene)))
+
+    # index sharding: [1, 2) renders only the second scene
+    shard_dir = str(tmp_path / "shard")
+    render_all.main([
+        scenes_dir, shard_dir, "--W", "32", "--n-frames", "6",
+        "--dtype", "float32", "--flow-suffix", "_motion.npz",
+        "--opt-overrides", tiny, "--start", "1",
+    ])
+    assert sorted(os.listdir(shard_dir)) == ["00002_00000"]
