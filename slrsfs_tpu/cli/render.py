@@ -186,19 +186,23 @@ class SceneRenderer:
             if self.mesh is not None:
                 mesh = self.mesh
                 if self.slr:
-                    fn = jax.jit(lambda v, i, f, p, va, rg: to_u8(
+                    fn = jax.jit(lambda v, i, f, p, va, rg, disp=None,
+                                 offs=None: to_u8(
                         slr_rollout_frame_sharded(
                             self.model, v, i, f, self.n_frames, p,
                             va, mesh,
                             compute_dtype=self.compute_dtype,
                             splat_dtype=self.splat_dtype,
-                            alpha_region=rg if has_region else None)))
+                            alpha_region=rg if has_region else None,
+                            crop=crop, disp=disp, crop_offsets=offs)))
                 else:
-                    fn = jax.jit(lambda v, i, f, p, va, rg: to_u8({
+                    fn = jax.jit(lambda v, i, f, p, va, rg, disp=None,
+                                 offs=None: to_u8({
                         "PredImg": baseline_rollout_frame_sharded(
                             self.model, v, i, f, self.n_frames, p, va,
                             mesh, compute_dtype=self.compute_dtype,
-                            splat_dtype=self.splat_dtype)}))
+                            splat_dtype=self.splat_dtype,
+                            crop=crop, disp=disp, crop_offsets=offs)}))
             elif self.slr:
                 fn = jax.jit(lambda v, i, f, p, va, rg, disp=None,
                              offs=None: to_u8(
@@ -306,7 +310,7 @@ class SceneRenderer:
         flow_d, pos_d, val_d = (jnp.asarray(flow), jnp.asarray(positions),
                                 jnp.asarray(valid))
         crop = disp = None
-        if self.crop_decode == "auto" and self.mesh is None:
+        if self.crop_decode == "auto":
             from slrsfs_tpu.engine.rollout import prepare_crop
 
             disp, crop = prepare_crop(self.opt, self.slr, flow_d, pos_d,

@@ -917,7 +917,9 @@ def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
                                    positions, valid, mesh,
                                    axis: str = "data",
                                    compute_dtype=jnp.float32,
-                                   splat_dtype=None):
+                                   splat_dtype=None,
+                                   crop: Optional[CropSpec] = None,
+                                   disp=None, crop_offsets=None):
     """Shard the rollout's FRAME axis across a device mesh.
 
     Frames are independent given the integrated displacement stacks
@@ -926,8 +928,11 @@ def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
     vmap over the frame axis with a sharding constraint, and XLA partitions
     it across ICI with no collectives in the hot loop. Supports every
     Z-norm variant including the per-frame v2 maximum-warp-norm (sparse,
-    runs inside each device's frame slice) and the bf16 compute/splat speed
-    modes of ``baseline_rollout_sparse``.
+    runs inside each device's frame slice), the bf16 compute/splat speed
+    modes, and the moving-region cropped decode (``crop``/``disp``/
+    ``crop_offsets``) of ``baseline_rollout_sparse`` — each device
+    splats+decodes only the crop window of its frames and pastes onto one
+    replicated static decode.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -943,14 +948,40 @@ def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
     fs, z = model.apply(variables, img, method="encode")
     z = z_for_splat(opt, fs, z)
 
-    moving_mask = jnp.zeros((H, W), jnp.float32).at[
-        positions[:, 1], positions[:, 0]
+    if crop is None:
+        cy0 = cx0 = cpy0 = cpx0 = 0
+        hc, wc = H, W
+    else:
+        hc, wc = crop.hc, crop.wc
+        cy0, cx0, cpy0, cpx0 = _crop_scalars(crop, crop_offsets)
+    positions_c = (positions if crop is None
+                   else positions - jnp.stack(
+                       [jnp.asarray(cx0, jnp.int32),
+                        jnp.asarray(cy0, jnp.int32)])[None])
+    moving_mask = jnp.zeros((hc, wc), jnp.float32).at[
+        positions_c[:, 1], positions_c[:, 0]
     ].max(valid)
     pack = _baseline_pack_fn(opt, fs, z, positions, valid,
-                             1.0 - moving_mask, splat_dtype)
+                             1.0 - moving_mask, splat_dtype,
+                             positions_c=positions_c,
+                             crop=None if crop is None
+                             else (cy0, cx0, hc, wc))
 
-    # both directions in one scan (halves the fixed per-step overhead)
-    disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
+    if disp is None:
+        # both directions in one scan (halves the fixed per-step overhead)
+        disp_f, disp_p = euler_integrate_compact_dual(flow, positions,
+                                                      N - 1, N)
+    else:
+        disp_f, disp_p = disp
+
+    dec_static = None
+    if crop is not None:
+        dec_static = model.apply(
+            variables,
+            _baseline_static_decode_input(opt, fs, z, positions, valid,
+                                          H, W, splat_dtype
+                                          ).astype(compute_dtype),
+            method="decode")[0].astype(jnp.float32)
 
     sh = NamedSharding(mesh, P(axis))
 
@@ -958,12 +989,18 @@ def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
         alpha = 1.0 - t.astype(jnp.float32) / N
         u_static_t, u_mov_t = pack(disp_f[t])
         g = (softsplat_sum_at_quad_dual(
-            u_mov_t, positions, disp_f[t], disp_p[N - t],
-            alpha, 1.0 - alpha, H, W) + u_static_t).astype(jnp.float32)
+            u_mov_t, positions_c, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, hc, wc) + u_static_t).astype(jnp.float32)
         norm = jnp.maximum(g[..., -1:], 1e-8)
         gen_fs = (g[..., :-1] / norm).astype(compute_dtype)
         out = model.apply(variables, gen_fs[None], method="decode")[0]
-        return out.astype(jnp.float32)
+        out = out.astype(jnp.float32)
+        if crop is None:
+            return out
+        patch = jax.lax.dynamic_slice(
+            out, (cpy0 - cy0, cpx0 - cx0, 0), (crop.ph, crop.pw, 3))
+        return jax.lax.dynamic_update_slice(
+            dec_static, patch, (jnp.asarray(cpy0), jnp.asarray(cpx0), 0))
 
     ts = jax.lax.with_sharding_constraint(jnp.arange(N), sh)
     frames = jax.vmap(frame)(ts)
@@ -974,15 +1011,19 @@ def slr_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
                               positions, valid, mesh, axis: str = "data",
                               bg_img_raw=None, alpha_region=None,
                               mask_rock=None, compute_dtype=jnp.float32,
-                              splat_dtype=None):
+                              splat_dtype=None,
+                              crop: Optional[CropSpec] = None,
+                              disp=None, crop_offsets=None):
     """Frame-axis-sharded SLR inference (two-layer flagship model).
 
     Same scheme as ``baseline_rollout_frame_sharded``: the per-scene work
     (encode, background, alpha head, Euler scan) is replicated, then each
     device renders N/n_devices frames — splat, fluid decode, alpha decode,
     composite — with no collectives in the hot loop. Supports the v2
-    per-frame maximum-warp-norm and the bf16 compute/splat speed modes.
-    Returns the same dict as ``slr_rollout_sparse``.
+    per-frame maximum-warp-norm, the bf16 compute/splat speed modes, and
+    the moving-region cropped decode (``crop``/``disp``/``crop_offsets``,
+    see ``baseline_rollout_sparse``). Returns the same dict as
+    ``slr_rollout_sparse``.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1007,18 +1048,65 @@ def slr_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
     a_bg_logits = a_bg_logits.astype(jnp.float32)
     a_bg_sig = jax.nn.sigmoid(a_bg_logits)
 
-    moving_mask = jnp.zeros((H, W), jnp.float32).at[
-        positions[:, 1], positions[:, 0]
+    if crop is None:
+        cy0 = cx0 = cpy0 = cpx0 = 0
+        hc, wc = H, W
+    else:
+        hc, wc = crop.hc, crop.wc
+        cy0, cx0, cpy0, cpx0 = _crop_scalars(crop, crop_offsets)
+    positions_c = (positions if crop is None
+                   else positions - jnp.stack(
+                       [jnp.asarray(cx0, jnp.int32),
+                        jnp.asarray(cy0, jnp.int32)])[None])
+    moving_mask = jnp.zeros((hc, wc), jnp.float32).at[
+        positions_c[:, 1], positions_c[:, 0]
     ].max(valid)
-    pack, use_alpha0, _ = _slr_pack_fn(opt, fs, z, a_fl_logits, a_bg_sig,
-                                       positions, valid, 1.0 - moving_mask,
-                                       splat_dtype)
+    pack, use_alpha0, u_full = _slr_pack_fn(
+        opt, fs, z, a_fl_logits, a_bg_sig, positions, valid,
+        1.0 - moving_mask, splat_dtype, positions_c=positions_c,
+        crop=None if crop is None else (cy0, cx0, hc, wc))
 
-    disp_f, disp_p = euler_integrate_compact_dual(flow, positions, N - 1, N)
+    if disp is None:
+        disp_f, disp_p = euler_integrate_compact_dual(flow, positions,
+                                                      N - 1, N)
+    else:
+        disp_f, disp_p = disp
 
     region = None
     if alpha_region is not None:
         region = gaussian_blur_region(alpha_region.astype(jnp.float32), W)
+
+    if crop is None:
+        img_c, a_bg_sig_c, a_bg_logits_c, bg_tanh_c, region_c = (
+            img, a_bg_sig, a_bg_logits, bg_tanh, region)
+        statics = None
+    else:
+        def cr(a):
+            return jax.lax.dynamic_slice(
+                a, (0, cy0, cx0, 0), (a.shape[0], hc, wc, a.shape[-1]))
+
+        img_c, a_bg_sig_c, a_bg_logits_c, bg_tanh_c = (
+            cr(img), cr(a_bg_sig), cr(a_bg_logits), cr(bg_tanh))
+        region_c = None if region is None else cr(region)
+        # replicated static frame (see slr_rollout_sparse: v2 re-applies
+        # the static-stencil e^zn on the sel channels; splat_dtype
+        # round-trip mirrors the per-frame rows)
+        u_st = u_full
+        if opt.use_softmax_splatter_v2:
+            C = u_full.shape[-1]
+            nfs = C - 3 if use_alpha0 else C - 2
+            sel = (jnp.array([1.0] * nfs + [0.0, 0.0, 1.0], jnp.float32)
+                   if use_alpha0 else jnp.ones((C,), jnp.float32))
+            zn_st = _static_zn_full(opt, z, positions, valid, H, W)
+            e_st = jnp.exp(zn_st.astype(jnp.float32)) * sel + (1.0 - sel)
+            u_st = u_full * e_st
+        u_st = u_st.astype(splat_dtype).astype(jnp.float32)
+        gen_fs_st, af_st = slr_unpack_splatted(u_st[None], use_alpha0)
+        statics = _slr_decode_chunk(
+            model, variables, gen_fs_st.astype(compute_dtype),
+            af_st.astype(compute_dtype), img, a_bg_sig, a_bg_logits,
+            bg_tanh, region, opt)
+        statics = tuple(a[0].astype(jnp.float32) for a in statics)
 
     sh = NamedSharding(mesh, P(axis))
 
@@ -1026,21 +1114,32 @@ def slr_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
         alpha = jnp.clip(1.0 - t.astype(jnp.float32) / N, ALPHA_MIN, ALPHA_MAX)
         u_static_t, u_mov_t = pack(disp_f[t])
         g = (softsplat_sum_at_quad_dual(
-            u_mov_t, positions, disp_f[t], disp_p[N - t],
-            alpha, 1.0 - alpha, H, W) + u_static_t)[None].astype(jnp.float32)
+            u_mov_t, positions_c, disp_f[t], disp_p[N - t],
+            alpha, 1.0 - alpha, hc, wc) + u_static_t)[None].astype(jnp.float32)
         gen_fs, af_warped = slr_unpack_splatted(g, use_alpha0)
         gen_fs = gen_fs.astype(compute_dtype)
         af_warped = af_warped.astype(compute_dtype)
         fluid = model.apply(variables, gen_fs, method="decode_fluid")
         ga_logits = model.apply(variables, gen_fs, af_warped,
-                                method="decode_alpha", img=img)
+                                method="decode_alpha", img=img_c)
         ga = jax.nn.sigmoid(ga_logits.astype(jnp.float32))
         gen, comp_alpha = slr_composite(fluid.astype(jnp.float32), ga,
-                                        a_bg_sig, bg_tanh,
-                                        alpha_region=region, opt=opt,
+                                        a_bg_sig_c, bg_tanh_c,
+                                        alpha_region=region_c, opt=opt,
                                         ga_raw=ga_logits.astype(jnp.float32),
-                                        a_bg_raw=a_bg_logits)
-        return gen[0], fluid[0], comp_alpha[0]
+                                        a_bg_raw=a_bg_logits_c)
+        outs = (gen[0], fluid[0].astype(jnp.float32), comp_alpha[0])
+        if crop is None:
+            return outs
+        oy, ox = cpy0 - cy0, cpx0 - cx0
+        pasted = []
+        for static_im, a in zip(statics, outs):
+            patch = jax.lax.dynamic_slice(
+                a, (oy, ox, 0), (crop.ph, crop.pw, a.shape[-1]))
+            pasted.append(jax.lax.dynamic_update_slice(
+                static_im, patch.astype(jnp.float32),
+                (jnp.asarray(cpy0), jnp.asarray(cpx0), 0)))
+        return tuple(pasted)
 
     ts = jax.lax.with_sharding_constraint(jnp.arange(N), sh)
     gen, fluid, comp = jax.vmap(frame)(ts)

@@ -447,3 +447,73 @@ def test_train_step_compact_moving_sets_exact(base_trainer):
     # dense fallback: >50% moving returns the batch unchanged
     dense_b = {"motions": np.ones((2, 32, 32, 2), np.float32)}
     assert "mov_pos" not in attach_moving_sets(dense_b)
+
+
+def test_frame_sharded_crop_matches_sparse_crop():
+    """Moving-region cropped decode on the 8-device frame-sharded paths
+    equals the single-device sparse crop rollout (baseline + SLR)."""
+    from slrsfs_tpu.engine.init_utils import jit_init, settle
+    from slrsfs_tpu.engine.rollout import (
+        baseline_rollout_frame_sharded,
+        baseline_rollout_sparse,
+        prepare_crop,
+        prepare_scene_sparse,
+        slr_rollout_frame_sharded,
+        slr_rollout_sparse,
+    )
+    from slrsfs_tpu.models.baseline import BaselineModel
+    from slrsfs_tpu.models.slr import SLRModel
+    from slrsfs_tpu.parallel.mesh import make_mesh, replicate
+
+    rng = np.random.default_rng(17)
+    H = W = 64
+    N = 8
+    img = jnp.asarray(rng.standard_normal((1, H, W, 3)) * 0.25, jnp.float32)
+    flow = np.zeros((H, W, 2), np.float32)
+    flow[24:32, 24:40] = rng.standard_normal((8, 16, 2)).astype(np.float32)
+    pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
+    pos, valid = jnp.asarray(pos), jnp.asarray(valid)
+    flow = jnp.asarray(flow)
+    mesh = make_mesh(8)
+
+    opt = tiny_options(W=W)
+    model = BaselineModel(opt)
+    v = jit_init(model, {"params": jax.random.PRNGKey(0),
+                         "noise": jax.random.PRNGKey(1)}, img, False, True)
+    v = settle(model, v, (img,), n=2)
+    disp, crop = prepare_crop(opt, False, flow, pos, valid, N,
+                              max_area_frac=1.01, bucket=8)
+    assert crop is not None and crop.hc < H
+    offs = jnp.asarray([crop.y0, crop.x0, crop.py0, crop.px0], jnp.int32)
+    want = jax.jit(lambda v_, d, o: baseline_rollout_sparse(
+        model, v_, img, flow, N, pos, valid, decode_batch=4, crop=crop,
+        disp=d, crop_offsets=o))(v, disp, offs)
+    got = jax.jit(lambda v_, d, o: baseline_rollout_frame_sharded(
+        model, v_, img, flow, N, pos, valid, mesh, crop=crop, disp=d,
+        crop_offsets=o))(replicate(v, mesh), disp, offs)
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    opt2 = tiny_options(W=W,
+                        model_type="softmax_splating_2layers_alpha_seperate",
+                        use_alpha0_as_blending_weight=True)
+    slr = SLRModel(opt2)
+    v2 = jit_init(slr, {"params": jax.random.PRNGKey(2),
+                        "noise": jax.random.PRNGKey(3)}, img, False, True)
+    v2 = settle(slr, v2, (img,), n=2)
+    disp2, crop2 = prepare_crop(opt2, True, flow, pos, valid, N,
+                                max_area_frac=1.01, bucket=8)
+    assert crop2 is not None
+    offs2 = jnp.asarray([crop2.y0, crop2.x0, crop2.py0, crop2.px0],
+                        jnp.int32)
+    want2 = jax.jit(lambda v_, d, o: slr_rollout_sparse(
+        slr, v_, img, flow, N, pos, valid, decode_batch=4, crop=crop2,
+        disp=d, crop_offsets=o))(v2, disp2, offs2)
+    got2 = jax.jit(lambda v_, d, o: slr_rollout_frame_sharded(
+        slr, v_, img, flow, N, pos, valid, mesh, crop=crop2, disp=d,
+        crop_offsets=o))(replicate(v2, mesh), disp2, offs2)
+    for k in ("PredImg", "FluidImg", "CompositeFluidAlpha"):
+        np.testing.assert_allclose(np.asarray(got2[k]),
+                                   np.asarray(want2[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
