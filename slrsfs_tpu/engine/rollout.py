@@ -406,6 +406,21 @@ def _crop_scalars(crop: "CropSpec", crop_offsets):
             crop_offsets[2], crop_offsets[3])
 
 
+def _crop_window(crop, crop_offsets, positions, height, width):
+    """Shared crop-window setup for every rollout family.
+
+    Returns (cy0, cx0, cpy0, cpx0, hc, wc, positions_c): window offsets
+    (static ints, or traced scalars via ``crop_offsets``), static window
+    sizes, and the moving positions shifted into window coordinates."""
+    if crop is None:
+        return 0, 0, 0, 0, height, width, positions
+    hc, wc = crop.hc, crop.wc
+    cy0, cx0, cpy0, cpx0 = _crop_scalars(crop, crop_offsets)
+    positions_c = positions - jnp.stack(
+        [jnp.asarray(cx0, jnp.int32), jnp.asarray(cy0, jnp.int32)])[None]
+    return cy0, cx0, cpy0, cpx0, hc, wc, positions_c
+
+
 def _baseline_pack_fn(opt, fs, z, positions, valid, static_mask, splat_dtype,
                       positions_c=None, crop=None):
     """Per-frame packed-splat-input builder shared by the sparse and
@@ -504,16 +519,8 @@ def baseline_rollout_sparse(model, variables, img, flow, n_frames: int,
     fs, z = model.apply(variables, img, method="encode")
     z = z_for_splat(opt, fs, z)
 
-    if crop is None:
-        cy0 = cx0 = cpy0 = cpx0 = 0
-        hc, wc = H, W
-    else:
-        hc, wc = crop.hc, crop.wc
-        cy0, cx0, cpy0, cpx0 = _crop_scalars(crop, crop_offsets)
-    positions_c = (positions if crop is None
-                   else positions - jnp.stack(
-                       [jnp.asarray(cx0, jnp.int32),
-                        jnp.asarray(cy0, jnp.int32)])[None])
+    (cy0, cx0, cpy0, cpx0, hc, wc,
+     positions_c) = _crop_window(crop, crop_offsets, positions, H, W)
     moving_mask = jnp.zeros((hc, wc), jnp.float32).at[
         positions_c[:, 1], positions_c[:, 0]
     ].max(valid)
@@ -740,16 +747,8 @@ def slr_rollout_sparse(model, variables, img, flow, n_frames: int,
     a_bg_sig = jax.nn.sigmoid(a_bg_logits)
 
     splat_dtype = jnp.dtype(splat_dtype or jnp.float32)
-    if crop is None:
-        cy0 = cx0 = cpy0 = cpx0 = 0
-        hc, wc = H, W
-    else:
-        hc, wc = crop.hc, crop.wc
-        cy0, cx0, cpy0, cpx0 = _crop_scalars(crop, crop_offsets)
-    positions_c = (positions if crop is None
-                   else positions - jnp.stack(
-                       [jnp.asarray(cx0, jnp.int32),
-                        jnp.asarray(cy0, jnp.int32)])[None])
+    (cy0, cx0, cpy0, cpx0, hc, wc,
+     positions_c) = _crop_window(crop, crop_offsets, positions, H, W)
     moving_mask = jnp.zeros((hc, wc), jnp.float32).at[
         positions_c[:, 1], positions_c[:, 0]
     ].max(valid)
@@ -948,16 +947,8 @@ def baseline_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
     fs, z = model.apply(variables, img, method="encode")
     z = z_for_splat(opt, fs, z)
 
-    if crop is None:
-        cy0 = cx0 = cpy0 = cpx0 = 0
-        hc, wc = H, W
-    else:
-        hc, wc = crop.hc, crop.wc
-        cy0, cx0, cpy0, cpx0 = _crop_scalars(crop, crop_offsets)
-    positions_c = (positions if crop is None
-                   else positions - jnp.stack(
-                       [jnp.asarray(cx0, jnp.int32),
-                        jnp.asarray(cy0, jnp.int32)])[None])
+    (cy0, cx0, cpy0, cpx0, hc, wc,
+     positions_c) = _crop_window(crop, crop_offsets, positions, H, W)
     moving_mask = jnp.zeros((hc, wc), jnp.float32).at[
         positions_c[:, 1], positions_c[:, 0]
     ].max(valid)
@@ -1048,16 +1039,8 @@ def slr_rollout_frame_sharded(model, variables, img, flow, n_frames: int,
     a_bg_logits = a_bg_logits.astype(jnp.float32)
     a_bg_sig = jax.nn.sigmoid(a_bg_logits)
 
-    if crop is None:
-        cy0 = cx0 = cpy0 = cpx0 = 0
-        hc, wc = H, W
-    else:
-        hc, wc = crop.hc, crop.wc
-        cy0, cx0, cpy0, cpx0 = _crop_scalars(crop, crop_offsets)
-    positions_c = (positions if crop is None
-                   else positions - jnp.stack(
-                       [jnp.asarray(cx0, jnp.int32),
-                        jnp.asarray(cy0, jnp.int32)])[None])
+    (cy0, cx0, cpy0, cpx0, hc, wc,
+     positions_c) = _crop_window(crop, crop_offsets, positions, H, W)
     moving_mask = jnp.zeros((hc, wc), jnp.float32).at[
         positions_c[:, 1], positions_c[:, 0]
     ].max(valid)
