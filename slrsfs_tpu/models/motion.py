@@ -38,8 +38,13 @@ Array = jax.Array
 
 
 def _resize_nearest(x: Array, h: int, w: int) -> Array:
-    B, C = x.shape[0], x.shape[-1]
-    return jax.image.resize(x, (B, h, w, C), method="nearest")
+    """torch F.interpolate(mode='nearest'): src = floor(i · in/out) — the
+    legacy asymmetric grid, NOT jax.image.resize's half-pixel rounding
+    (they differ on any non-2x scale and on downscale)."""
+    H, W = x.shape[1], x.shape[2]
+    iy = jnp.minimum((jnp.arange(h) * H) // h, H - 1).astype(jnp.int32)
+    ix = jnp.minimum((jnp.arange(w) * W) // w, W - 1).astype(jnp.int32)
+    return x[:, iy][:, :, ix]
 
 
 def _resize_segmap(segmap: Array, h: int, w: int) -> Array:

@@ -201,7 +201,31 @@ def upsample_bilinear_2x(x: Array) -> Array:
 
 
 def resize_bilinear(x: Array, h: int, w: int) -> Array:
-    """torch F.interpolate(mode='bilinear', align_corners=False)."""
-    B = x.shape[0]
-    C = x.shape[-1]
-    return jax.image.resize(x, (B, h, w, C), method="bilinear")
+    """torch F.interpolate(mode='bilinear', align_corners=False,
+    antialias=False): 2-tap sampling at half-pixel-centered target coords.
+
+    NOT jax.image.resize — that ANTIALIASES on downscale (scale-aware
+    triangle kernel), which diverges from torch exactly where SPADE
+    downsizes its segmap to each layer's resolution (256 → 2..128); the
+    full-UNet motion parity test caught a 99%-of-pixels mismatch. On
+    upscale the two agree (kernel support 1), so upsample_bilinear_2x
+    stays on jax.image.resize.
+    """
+    B, H, W = x.shape[0], x.shape[1], x.shape[2]
+    if (h, w) == (H, W):
+        return x
+
+    def taps(out_size, in_size):
+        i = jnp.arange(out_size, dtype=jnp.float32)
+        src = (i + 0.5) * (in_size / out_size) - 0.5
+        lo = jnp.clip(jnp.floor(src), 0, in_size - 1)
+        frac = jnp.clip(src - lo, 0.0, 1.0)  # edge clamp (src < 0)
+        lo_i = lo.astype(jnp.int32)
+        return lo_i, jnp.minimum(lo_i + 1, in_size - 1), frac
+
+    ylo, yhi, fy = taps(h, H)
+    xlo, xhi, fx = taps(w, W)
+    fy = fy[None, :, None, None]
+    fx = fx[None, None, :, None]
+    top = x[:, ylo] * (1.0 - fy) + x[:, yhi] * fy
+    return top[:, :, xlo] * (1.0 - fx) + top[:, :, xhi] * fx
