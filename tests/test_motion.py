@@ -135,3 +135,54 @@ def test_spade_mask_motion_full_parity_vs_reference():
                            jnp.asarray(hint))
     torch_ref.assert_close(np.asarray(got), want.transpose(0, 2, 3, 1),
                            rel=3e-4)
+
+
+def test_plain_unet_motion_full_parity_vs_reference():
+    """Full-output weight-transfer parity of the plain motion UNet vs the
+    ACTUAL reference torch module (architectures.py:382-493)."""
+    import argparse
+    import os
+    import sys
+    import tempfile
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    import torch_ref
+
+    torch_ref.install_tv_stub()
+    sys.path.insert(0, "/root/reference")
+    from models.networks.architectures import Unet4Motion as RefNet
+
+    nf, H = 8, 256
+    torch.manual_seed(4)
+    ref_o = torch_ref.ref_opt(norm_G="sync:spectral_instance")
+    tm = RefNet(num_filters=nf, channels_in=6, channels_out=2, opt=ref_o)
+    x = torch.randn(1, 6, H, H) * 0.3
+    torch_ref.settle_spectral(tm, x)
+    with torch.no_grad():
+        want = tm(x).numpy()
+
+    from slrsfs_tpu.io.checkpoint import import_checkpoint
+
+    sd = {f"motion_predictor.{k}": v for k, v in tm.state_dict().items()}
+    ns = argparse.Namespace(
+        model_type="unet_motion", W=H, motionW=H, motionH=H,
+        div_flow=1.0, use_mask_as_motion_input=True,
+        use_hint_as_motion_input=True, norm_G="sync:spectral_instance",
+        motion_num_filters=nf)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "motion.pth")
+        torch.save({"state_dict": sd, "opts": ns}, path)
+        variables, opt = import_checkpoint(path)
+
+    from slrsfs_tpu.models.motion import MotionRegressor
+
+    m = MotionRegressor(opt)
+    xn = torch_ref.to_nhwc(x)
+    got = jax.jit(m.apply)(variables, jnp.asarray(xn[..., :3]),
+                           jnp.asarray(xn[..., 3:4]),
+                           jnp.asarray(xn[..., 4:6]))
+    torch_ref.assert_close(np.asarray(got), want.transpose(0, 2, 3, 1),
+                           rel=3e-4)
