@@ -216,3 +216,66 @@ def test_upsample_bilinear_2x_matches_resize():
         got = upsample_bilinear_2x(x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_vgg19_slices_parity_vs_reference():
+    """5-slice VGG19 perceptual extractor vs the ACTUAL reference VGG19
+    (architectures.py:82-115) on random weights: slice boundaries (ReLU
+    1_1/2_1/3_1/4_1/5_1), pool placement, and the import_vgg19 mapping."""
+    import os
+    import sys
+
+    import jax.numpy as jnp
+    import torch
+    import torch.nn as tnn
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    import torch_ref
+
+    tv = torch_ref.install_tv_stub()
+
+    def vgg19(pretrained=False, **kw):
+        # torchvision vgg19.features layout (conv indices 0..34, 'E' cfg)
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+               512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+        layers, c_in = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers += [tnn.Conv2d(c_in, v, 3, padding=1), tnn.ReLU()]
+                c_in = v
+        m = tnn.Module()
+        m.features = tnn.Sequential(*layers)
+        return m
+
+    tv.models.vgg19 = vgg19
+    sys.path.insert(0, "/root/reference")
+    from models.networks.architectures import VGG19 as RefVGG
+
+    torch.manual_seed(6)
+    ref = RefVGG().eval()
+    x = torch.randn(1, 3, 64, 64) * 0.5
+    with torch.no_grad():
+        want = [t.numpy() for t in ref(x)]
+
+    # harvest the reference's weights back into features.{i}.* layout
+    sd = {}
+    for sl, base in ((ref.slice1, 0), (ref.slice2, 0), (ref.slice3, 0),
+                     (ref.slice4, 0), (ref.slice5, 0)):
+        for name, mod in sl.named_children():
+            if isinstance(mod, tnn.Conv2d):
+                sd[f"features.{name}.weight"] = mod.weight
+                sd[f"features.{name}.bias"] = mod.bias
+
+    from slrsfs_tpu.nn.vgg import VGG19Features, import_vgg19
+
+    import jax
+
+    variables = import_vgg19(sd)
+    got = jax.jit(VGG19Features().apply)(variables,
+                                         jnp.asarray(torch_ref.to_nhwc(x)))
+    assert len(got) == 5
+    for g, w in zip(got, want):
+        torch_ref.assert_close(np.asarray(g), w.transpose(0, 2, 3, 1),
+                               rel=2e-4)
