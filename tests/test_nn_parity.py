@@ -279,3 +279,112 @@ def test_vgg19_slices_parity_vs_reference():
     for g, w in zip(got, want):
         torch_ref.assert_close(np.asarray(g), w.transpose(0, 2, 3, 1),
                                rel=2e-4)
+
+
+def test_ssim_parity_vs_reference():
+    """SSIM (gaussian window 11, with and without mask) vs the ACTUAL
+    reference models/losses/ssim.py."""
+    import os
+    import sys
+
+    import jax.numpy as jnp
+
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    from torch_ref import to_nchw
+
+    sys.path.insert(0, "/root/reference")
+    from models.losses.ssim import ssim as ref_ssim
+
+    from slrsfs_tpu.losses.ssim import ssim as our_ssim
+
+    rng = np.random.default_rng(11)
+    a = rng.random((2, 33, 37, 3)).astype(np.float32)
+    b = np.clip(a + rng.standard_normal(a.shape).astype(np.float32) * 0.1,
+                0, 1)
+    with torch.no_grad():
+        want = float(ref_ssim(to_nchw(a), to_nchw(b)))
+    got = float(our_ssim(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    mask = (rng.random((2, 33, 37, 1)) > 0.5).astype(np.float32)
+    mask_t = torch.from_numpy(mask.transpose(0, 3, 1, 2).copy())
+    with torch.no_grad():
+        want_m = ref_ssim(to_nchw(a), to_nchw(b), mask=mask_t).numpy()
+    got_m = np.asarray(our_ssim(jnp.asarray(a), jnp.asarray(b),
+                                mask=jnp.asarray(mask)))
+    np.testing.assert_allclose(got_m, want_m, rtol=1e-4, atol=1e-5)
+
+
+def test_perceptual_loss_parity_vs_reference():
+    """PerceptualLoss (5-slice VGG19, per-slice weights) vs the ACTUAL
+    reference models/losses/synthesis.py, same random VGG weights through
+    import_vgg19."""
+    import os
+    import sys
+
+    import jax.numpy as jnp
+
+    import torch
+    import torch.nn as tnn
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    import torch_ref
+
+    tv = torch_ref.install_tv_stub()
+
+    def vgg19(pretrained=False, **kw):
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+               512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+        layers, c_in = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers += [tnn.Conv2d(c_in, v, 3, padding=1), tnn.ReLU()]
+                c_in = v
+        m = tnn.Module()
+        m.features = tnn.Sequential(*layers)
+        return m
+
+    tv.models.vgg19 = vgg19
+    sys.path.insert(0, "/root/reference")
+    import argparse
+
+    from models.losses.synthesis import PerceptualLoss
+
+    torch.manual_seed(9)
+    ref = PerceptualLoss(argparse.Namespace()).eval()
+    rng = np.random.default_rng(12)
+    a = (rng.random((1, 64, 64, 3)).astype(np.float32) - 0.5) * 2
+    b = (rng.random((1, 64, 64, 3)).astype(np.float32) - 0.5) * 2
+    with torch.no_grad():
+        out = ref(torch_ref.to_nchw(a), torch_ref.to_nchw(b))
+    want = float(out["Perceptual"] if isinstance(out, dict) else out)
+
+    from slrsfs_tpu.losses.synthesis import SynthesisLoss
+    from slrsfs_tpu.nn.vgg import VGG19Features, import_vgg19
+
+    # harvest from the reference's internal VGG19 slices
+    sd = {}
+    vgg_mod = None
+    for m in ref.modules():
+        if m.__class__.__name__ == "VGG19":
+            vgg_mod = m
+            break
+    assert vgg_mod is not None
+    for sl in (vgg_mod.slice1, vgg_mod.slice2, vgg_mod.slice3,
+               vgg_mod.slice4, vgg_mod.slice5):
+        for name, mod in sl.named_children():
+            if isinstance(mod, tnn.Conv2d):
+                sd[f"features.{name}.weight"] = mod.weight
+                sd[f"features.{name}.bias"] = mod.bias
+
+    synth = SynthesisLoss(("1.0_content",), VGG19Features(),
+                          import_vgg19(sd))
+    import jax
+
+    losses = jax.jit(synth)(jnp.asarray(a), jnp.asarray(b))
+    got = float(losses["Perceptual"])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
