@@ -388,3 +388,106 @@ def test_perceptual_loss_parity_vs_reference():
     losses = jax.jit(synth)(jnp.asarray(a), jnp.asarray(b))
     got = float(losses["Perceptual"])
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_gan_loss_modes_parity_vs_reference():
+    """GANLoss scalar math (hinge/ls/original/w) for G and D vs the ACTUAL
+    reference models/losses/gan_loss.py on multiscale-style nested preds."""
+    import sys
+
+    import jax.numpy as jnp
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from models.losses.gan_loss import GANLoss as RefGAN
+
+    from slrsfs_tpu.losses.gan import gan_loss
+
+    rng = np.random.default_rng(13)
+    # reference accepts a list (multiscale) of lists (interm feats); the
+    # loss uses only the LAST tensor of each scale
+    scales = [
+        [torch.from_numpy(rng.standard_normal((2, 8, 5, 5))
+                          .astype(np.float32))],
+        [torch.from_numpy(rng.standard_normal((2, 8, 3, 3))
+                          .astype(np.float32))],
+    ]
+    ours = [[jnp.asarray(t.numpy().transpose(0, 2, 3, 1)) for t in s]
+            for s in scales]
+    for mode in ("hinge", "ls", "original", "w"):
+        ref = RefGAN(mode)
+        for is_real in (True, False):
+            for for_d in (True, False):
+                if mode == "hinge" and not for_d and not is_real:
+                    continue  # reference asserts target_is_real for G
+                with torch.no_grad():
+                    want = float(ref(scales, is_real, for_d))
+                got = float(gan_loss(ours, is_real, for_d, mode))
+                np.testing.assert_allclose(
+                    got, want, rtol=1e-5, atol=1e-6,
+                    err_msg=f"{mode} real={is_real} for_d={for_d}")
+
+
+def test_motion_loss_parity_vs_reference():
+    """MotionLoss ('1.0_MotionL1', EndPointError) incl. the 3-channel uv·m
+    fold vs the ACTUAL reference models/losses/synthesis.py."""
+    import os
+    import sys
+
+    import jax.numpy as jnp
+    import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__)))
+    import torch_ref
+
+    torch_ref.install_tv_stub()
+    sys.path.insert(0, "/root/reference")
+    from models.losses.synthesis import MotionLoss as RefML
+
+    from slrsfs_tpu.losses.synthesis import MotionLoss
+
+    rng = np.random.default_rng(14)
+    for ch in (2, 3):
+        pred = rng.standard_normal((2, 16, 16, ch)).astype(np.float32)
+        gt = rng.standard_normal((2, 16, 16, ch)).astype(np.float32)
+        import argparse
+
+        import torch.nn as tnn
+        from models.losses.synthesis import (
+            MotionEnePointErrorWrapper,
+            MotionL1LossWrapper,
+        )
+
+        ref = RefML(argparse.Namespace(
+            motion_losses=["1.0_MotionL1", "2.0_EndPointError"]))
+        # reference get_loss_from_name returns None without CUDA (it only
+        # returns inside `if torch.cuda.is_available()`); rebuild the list
+        ref.losses = tnn.ModuleList(
+            [MotionL1LossWrapper(), MotionEnePointErrorWrapper()])
+        with torch.no_grad():
+            want = ref(torch_ref.to_nchw(pred), torch_ref.to_nchw(gt))
+        got = MotionLoss(("1.0_MotionL1", "2.0_EndPointError"))(
+            jnp.asarray(pred), jnp.asarray(gt))
+        for k in ("MotionL1", "EndPointError", "Total Loss"):
+            np.testing.assert_allclose(
+                float(got[k]), float(want[k]), rtol=1e-5, atol=1e-6,
+                err_msg=f"ch={ch} {k}")
+
+
+def test_flow2img_parity_vs_reference():
+    """Middlebury flow->color rendering vs the ACTUAL reference
+    utils/flow_utils.flow2img (pure numpy)."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from utils.flow_utils import flow2img as ref_flow2img
+
+    from slrsfs_tpu.utils.flow_viz import flow_to_image
+
+    rng = np.random.default_rng(15)
+    flow = rng.standard_normal((24, 32, 2)).astype(np.float32) * 3.0
+    flow[:4, :4] = 0.0
+    want = ref_flow2img(flow.copy())
+    got = flow_to_image(flow.copy())
+    np.testing.assert_allclose(np.asarray(got, np.int16),
+                               np.asarray(want, np.int16), atol=1)
