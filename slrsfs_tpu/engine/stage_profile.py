@@ -161,6 +161,102 @@ def profile_baseline_stages(model, variables, img, flow, positions, valid,
     }
 
 
+def profile_baseline_crop_stages(model, variables, img, flow, positions,
+                                 valid, n_frames: int, decode_batch: int = 30,
+                                 compute_dtype=jnp.float32, splat_dtype=None,
+                                 runs: int = 3,
+                                 max_area_frac: float = 0.85
+                                 ) -> Dict[str, float]:
+    """Stage breakdown of the CROPPED rollout (render CLI --crop-decode
+    auto): prepare (integration + target bounds, once per scene) + the crop
+    rollout, decomposed by the same prefix-difference technique. Returns
+    reference-named stages with t_euler_integration = the prepare step and
+    ``total`` the honest end-to-end per-scene time (prepare + rollout).
+    Returns None when the scene's crop plan is None (crop disengaged)."""
+    import time as _time
+
+    from slrsfs_tpu.engine.rollout import (
+        baseline_rollout_sparse,
+        prepare_crop,
+        softsplat_sum_at_quad_dual as _quad_dual,
+        _crop_window,
+    )
+
+    opt = model.opt
+    N = n_frames
+    H, W = flow.shape[0], flow.shape[1]
+    sdt = jnp.dtype(splat_dtype or jnp.float32)
+
+    def prep():
+        return prepare_crop(opt, False, flow, positions, valid, N,
+                            max_area_frac=max_area_frac)
+
+    disp, crop = prep()
+    if crop is None:
+        return None
+    _force(disp[0])
+    times = []
+    for _ in range(runs):
+        t0 = _time.perf_counter()
+        d, _c = prep()
+        _force(d[0])
+        times.append(_time.perf_counter() - t0)
+    t_prep = min(times)
+
+    @jax.jit
+    def f_encode(v, i):
+        v2, i2 = _cast_for_compute(v, i, compute_dtype)
+        return jnp.sum(model.apply(v2, i2, method="encode")[0]
+                       .astype(jnp.float32))
+
+    @jax.jit
+    def f_splat(v, i, p, va, d0, d1):
+        v2, i2 = _cast_for_compute(v, i, compute_dtype)
+        fs, z = model.apply(v2, i2, method="encode")
+        z = z_for_splat(opt, fs, z)
+        (cy0, cx0, _py, _px, hc, wc,
+         p_c) = _crop_window(crop, None, p, H, W)
+        mm = jnp.zeros((hc, wc), jnp.float32).at[p_c[:, 1], p_c[:, 0]
+                                                 ].max(va)
+        pack = _baseline_pack_fn(opt, fs, z, p, va, 1.0 - mm, sdt,
+                                 positions_c=p_c, crop=(cy0, cx0, hc, wc))
+
+        def frame(_, t):
+            alpha = 1.0 - t.astype(jnp.float32) / N
+            us, um = pack(d0[t])
+            g = (_quad_dual(um, p_c, d0[t], d1[N - t], alpha, 1.0 - alpha,
+                            hc, wc) + us).astype(jnp.float32)
+            return None, (g[..., :1] / jnp.maximum(g[..., -1:], 1e-8)
+                          )[0, 0, :4]
+
+        _, out = jax.lax.scan(frame, None, jnp.arange(N))
+        return jnp.sum(out)
+
+    @jax.jit
+    def f_full(v, i, p, va, d0, d1):
+        return jnp.sum(baseline_rollout_sparse(
+            model, v, i, flow, N, p, va, decode_batch=decode_batch,
+            compute_dtype=compute_dtype, splat_dtype=splat_dtype,
+            crop=crop, disp=(d0, d1)).astype(jnp.float32))
+
+    t_enc, c1 = _best(f_encode, (variables, img), runs)
+    t_spl, c2 = _best(f_splat, (variables, img, positions, valid,
+                                disp[0], disp[1]), runs)
+    t_full, c3 = _best(f_full, (variables, img, positions, valid,
+                                disp[0], disp[1]), runs)
+    total = t_prep + t_full
+    return {
+        "t_encoder": t_enc,
+        "t_euler_integration": t_prep,
+        "t_softmax_splating": max(t_spl - t_enc, 0.0),
+        "t_decoder": max(t_full - t_spl, 0.0),
+        "total": total,
+        "fps": N / total,
+        "compile_s": c1 + c2 + c3,
+        "crop": tuple(crop),
+    }
+
+
 def format_stages(st: Dict[str, float]) -> str:
     return (f"t_encoder={st['t_encoder']*1000:.0f}ms "
             f"t_euler_integration={st['t_euler_integration']*1000:.0f}ms "

@@ -311,3 +311,22 @@ def test_static_decode_input_matches_frame_math_at_eps_floor(v2):
     # the field is NOT the raw encoder features
     diff = np.abs(got - np.asarray(fs[0]))[static]
     assert diff.max() > 0.5, "test scene failed to engage the eps floor"
+
+
+def test_crop_stage_profiler_runs():
+    """profile_baseline_crop_stages returns the reference-named stages and
+    an honest total (prepare + rollout) on a crop-engaging scene."""
+    from slrsfs_tpu.engine.stage_profile import profile_baseline_crop_stages
+
+    img, flow, pos, val = _scene()
+    opt = tiny_options(refine_model_type=UPDOWN)
+    model = BaselineModel(opt)
+    v = _init(model, img)
+    st = profile_baseline_crop_stages(model, v, img, flow, pos, val, N,
+                                      decode_batch=3, runs=1,
+                                      max_area_frac=1.01)
+    assert st is not None
+    for k in ("t_encoder", "t_euler_integration", "t_softmax_splating",
+              "t_decoder", "total", "fps"):
+        assert k in st and np.isfinite(st[k]), k
+    assert st["total"] >= st["t_euler_integration"]

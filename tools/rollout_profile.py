@@ -26,7 +26,9 @@ from slrsfs_tpu.engine.init_utils import (
 )
 from slrsfs_tpu.engine.rollout import prepare_scene_sparse
 from slrsfs_tpu.engine.stage_profile import (
-    format_stages, profile_baseline_stages,
+    format_stages,
+    profile_baseline_crop_stages,
+    profile_baseline_stages,
 )
 from slrsfs_tpu.models.baseline import BaselineModel
 
@@ -39,6 +41,9 @@ def main():
     ap.add_argument("--moving", type=float, default=0.5)
     ap.add_argument("--decode-batches", default="5")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--crop", action="store_true",
+                    help="also profile the cropped-decode path (the render "
+                         "CLI default): prepare + crop rollout stages")
     args = ap.parse_args()
     H, W = (int(t) for t in args.hw.split("x"))
     dbs = [int(t) for t in args.decode_batches.split(",")]
@@ -72,6 +77,18 @@ def main():
             jnp.asarray(positions), jnp.asarray(valid), N,
             decode_batch=db, compute_dtype=cdt, splat_dtype=cdt)
         print(f"# STAGES db={db}: {format_stages(st)}", flush=True)
+
+    if args.crop:
+        st = profile_baseline_crop_stages(
+            model, variables, img, jnp.asarray(flow_np),
+            jnp.asarray(positions), jnp.asarray(valid), N,
+            decode_batch=30, compute_dtype=cdt, splat_dtype=cdt)
+        if st is None:
+            print("# CROP: plan is None (crop disengaged on this scene)",
+                  flush=True)
+        else:
+            print(f"# CROP STAGES (t_euler_integration = prepare_crop): "
+                  f"{format_stages(st)} crop={st['crop']}", flush=True)
 
 
 if __name__ == "__main__":
