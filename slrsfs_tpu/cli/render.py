@@ -295,7 +295,9 @@ class SceneRenderer:
             # reference DEBUG_TIME stage meters for the fused rollout
             # (prefix-difference programs; engine/stage_profile.py)
             from slrsfs_tpu.engine.stage_profile import (
-                format_stages, profile_baseline_stages,
+                format_stages,
+                profile_baseline_crop_stages,
+                profile_baseline_stages,
             )
 
             st = profile_baseline_stages(
@@ -305,6 +307,19 @@ class SceneRenderer:
                 compute_dtype=self.compute_dtype,
                 splat_dtype=self.splat_dtype)
             print(f"[profile {name}] {format_stages(st)}")
+            if self.crop_decode == "auto":
+                stc = profile_baseline_crop_stages(
+                    self.model, variables, img, jnp.asarray(flow),
+                    jnp.asarray(positions), jnp.asarray(valid), n_frames,
+                    decode_batch=self.decode_batch,
+                    compute_dtype=self.compute_dtype,
+                    splat_dtype=self.splat_dtype)
+                if stc is None:
+                    print(f"[profile {name}] crop: disengaged (plan None)")
+                else:
+                    print(f"[profile {name}] crop "
+                          f"(t_euler_integration = prepare_crop): "
+                          f"{format_stages(stc)}")
             self.profile_stages = False  # once per process is plenty
 
         flow_d, pos_d, val_d = (jnp.asarray(flow), jnp.asarray(positions),
