@@ -28,7 +28,15 @@ Additional labeled numbers in the same JSON object:
 Extras degrade gracefully: each runs under a wall-clock budget
 (``BENCH_BUDGET_S``, default 900 s) and any failure/skip only drops that
 field — the headline JSON line is printed up front and re-emitted enriched
-at the end, so the last parseable line is always a valid result.
+after EVERY completed row, so the last parseable line is always a valid
+result carrying everything measured before any mid-run failure (the axon
+relay is known to die irrecoverably mid-session; a row-by-row emit
+preserves partial evidence).
+
+Backend init is retried: TPU backend initialization failures are sticky
+within a process (xla_bridge caches the failed backend), so on an init
+failure the script re-execs itself after a backoff, up to
+``BENCH_INIT_RETRIES`` (default 4) attempts spanning ~10 minutes.
 
 All numbers use random weights on a synthetic scene; quality parity is
 covered by the test suite, this file measures speed only.
@@ -90,6 +98,30 @@ def _scene(rng, h, w, moving_frac=0.5):
             jnp.asarray(valid))
 
 
+def _device_with_retry():
+    """jax.devices() with process-level retry.
+
+    A failed TPU backend init is sticky in-process (xla_bridge caches the
+    error), so retrying the call is useless — instead re-exec this script
+    after a backoff. BENCH_INIT_RETRIES bounds the attempts (default 4:
+    60/120/240/480 s backoffs ≈ 15 min of patience for a flapping relay)."""
+    try:
+        return jax.devices()[0]
+    except Exception as e:  # noqa: BLE001 — any init failure warrants retry
+        attempt = int(os.environ.get("_BENCH_INIT_ATTEMPT", "0"))
+        retries = int(os.environ.get("BENCH_INIT_RETRIES", "4"))
+        print(f"# backend init failed (attempt {attempt + 1}/{retries + 1}):"
+              f" {type(e).__name__}: {e}", file=sys.stderr, flush=True)
+        if attempt >= retries:
+            raise
+        backoff = 60 * (2 ** attempt)
+        print(f"# re-exec after {backoff}s backoff", file=sys.stderr,
+              flush=True)
+        time.sleep(backoff)
+        os.environ["_BENCH_INIT_ATTEMPT"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     from slrsfs_tpu.engine.init_utils import enable_persistent_cache
 
@@ -97,7 +129,7 @@ def main():
         enable_persistent_cache()
     t_start = time.perf_counter()
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
-    dev = jax.devices()[0]
+    dev = _device_with_retry()
     rng = np.random.default_rng(0)
     opt = Options()  # flagship baseline2 config: ngf=64, 65ch, pconv decoder
     model = BaselineModel(opt)
@@ -164,6 +196,9 @@ def main():
             return
         extras[name] = round(N / b, 2)
         print(f"# {note}: {b*1000:.1f}ms compile={c:.1f}s", file=sys.stderr)
+        # re-emit the enriched line NOW: a mid-bench relay death then still
+        # leaves every completed row on stdout as the last parseable line
+        emit(extras)
 
     # round-1 headline definition (f32 splat accumulation), for cross-round
     # series comparability

@@ -267,6 +267,12 @@ def main(argv=None):
         # shipped motion-stage config (train_motion_EPE_MotionGAN.sh:17);
         # the reference argparse default '1.0_l1' crashes its own MotionLoss
         opt = opt.replace(motion_losses=("10.0_EndPointError",))
+    elif a.embed_motion:
+        # embedded-motion fluid training also pays motion losses; the
+        # shipped config is 1.0_EndPointError
+        # (train_animating_fixedMotion_finetuneFluid_IGANonly.sh:22) — the
+        # reference argparse default '1.0_l1' would crash at trace time
+        opt = opt.replace(motion_losses=("1.0_EndPointError",))
     if (a.init_bg_from or a.init_motion_from) and not a.init_from:
         p.error("--init-bg-from/--init-motion-from overlay --init-from and "
                 "require it")

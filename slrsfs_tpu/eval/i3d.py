@@ -187,17 +187,38 @@ def frechet_distance(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
     s_a = np.cov(feats_a, rowvar=False)
     s_b = np.cov(feats_b, rowvar=False)
     diff = mu_a - mu_b
-    prod = s_a @ s_b
-    try:
-        from scipy import linalg
 
-        covmean = linalg.sqrtm(prod)
-        if np.iscomplexobj(covmean):
-            covmean = covmean.real
-        tr = np.trace(covmean)
-    except Exception:
-        eig = np.linalg.eigvals(prod)
-        tr = float(np.sqrt(np.clip(eig.real, 0.0, None)).sum())
+    def _tr_sqrt(sa, sb):
+        prod = sa @ sb
+        try:
+            from scipy import linalg
+
+            covmean = linalg.sqrtm(prod)
+            if not np.isfinite(covmean).all():
+                return float("nan")  # caller retries regularized
+            if np.iscomplexobj(covmean):
+                # a singular product yields complex noise without raising;
+                # anything beyond float error means sqrtm silently failed
+                if np.abs(covmean.imag).max() > 1e-3:
+                    return float("nan")
+                covmean = covmean.real
+            return float(np.trace(covmean))
+        except Exception:
+            eig = np.linalg.eigvals(prod)
+            return float(np.sqrt(np.clip(eig.real, 0.0, None)).sum())
+
+    tr = _tr_sqrt(s_a, s_b)
+    if not np.isfinite(tr):
+        # rank-deficient covariances (N scenes << 400 feature dims is the
+        # typical CLAW set): sqrtm of the singular product can return
+        # NaN/complex noise WITHOUT raising. Standard FID recipe: retry
+        # with eps*I added to both covariances.
+        eps = 1e-6
+        eye = np.eye(s_a.shape[0])
+        tr = _tr_sqrt(s_a + eps * eye, s_b + eps * eye)
+        if not np.isfinite(tr):  # last resort: clipped eigenvalue path
+            eig = np.linalg.eigvals((s_a + eps * eye) @ (s_b + eps * eye))
+            tr = float(np.sqrt(np.clip(eig.real, 0.0, None)).sum())
     return float(diff @ diff + np.trace(s_a) + np.trace(s_b) - 2.0 * tr)
 
 

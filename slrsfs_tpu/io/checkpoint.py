@@ -448,6 +448,18 @@ _CKPTR = None
 _PENDING_META = []
 
 
+def _join_meta(t):
+    """Join a pending meta-writer thread, re-raising anything it caught.
+
+    A swallowed failure here (orbax wait_until_finished or the meta write)
+    would surface only as a silent one-epoch rollback on --resume."""
+    t.join()
+    exc = getattr(t, "exc", None)
+    if exc is not None:
+        raise RuntimeError(
+            f"async checkpoint save failed: {exc!r}") from exc
+
+
 def _checkpointer():
     import orbax.checkpoint as ocp
 
@@ -488,7 +500,7 @@ def save_native(path: str, state, opt: Options, epoch: int = 0,
     # older meta writers must land before a newer save starts, or a slow
     # thread could overwrite a newer meta with a stale epoch
     while _PENDING_META:
-        _PENDING_META.pop().join()
+        _join_meta(_PENDING_META.pop())
     ckptr.save(path, state, force=True)
     meta = {"opts": json.loads(opt.to_json()), "epoch": epoch}
     if extra:
@@ -497,9 +509,14 @@ def save_native(path: str, state, opt: Options, epoch: int = 0,
         ckptr.wait_until_finished()
         _write_meta(path, meta)
     else:
-        t = threading.Thread(
-            target=lambda: (ckptr.wait_until_finished(),
-                            _write_meta(path, meta)))
+        def _wait_and_write():
+            try:
+                ckptr.wait_until_finished()
+                _write_meta(path, meta)
+            except BaseException as e:  # re-raised at the next join
+                t.exc = e
+
+        t = threading.Thread(target=_wait_and_write)
         t.start()
         _PENDING_META.append(t)
 
@@ -509,7 +526,7 @@ def wait_for_checkpoints():
     if _CKPTR is not None:
         _CKPTR.wait_until_finished()
     while _PENDING_META:
-        _PENDING_META.pop().join()
+        _join_meta(_PENDING_META.pop())
 
 
 def restore_native(path: str, abstract_state):

@@ -17,6 +17,7 @@ kernel computes, so parity is exact.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -26,6 +27,10 @@ from flax import linen as nn
 from slrsfs_tpu.nn.norm import SpectralWeight
 
 Array = jax.Array
+
+# read once at import (process-start scope): a trace-time read inside
+# library code would silently ignore flips after functions are jit-cached
+_STENCIL_UPSAMPLE = os.environ.get("SLRSFS_STENCIL_UPSAMPLE", "0") != "0"
 
 
 def conv2d(x: Array, kernel: Array, bias: Optional[Array], stride: int, padding: int,
@@ -191,10 +196,10 @@ def upsample_bilinear_2x(x: Array) -> Array:
     768² rollout shape they are within noise for decode_batch <= 15, but
     the stencil's unfused interleave temps OOM at larger chunks while the
     resize's transposed dot outputs cost relayout copies — selectable via
-    SLRSFS_STENCIL_UPSAMPLE (default: resize)."""
-    import os
-
-    if os.environ.get("SLRSFS_STENCIL_UPSAMPLE", "0") != "0":
+    SLRSFS_STENCIL_UPSAMPLE (read ONCE at import: flipping it after
+    functions are jit-cached would silently have no effect, so the scope
+    is process-start by design; default: resize)."""
+    if _STENCIL_UPSAMPLE:
         return _up2_axis(_up2_axis(x, 1), 2)
     B, H, W, C = x.shape
     return jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
