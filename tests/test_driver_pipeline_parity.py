@@ -1,0 +1,281 @@
+"""Driver-pipeline parity: the reference's OWN inference driver vs ours.
+
+Runs the actual ``/root/reference/test_animating/test_baseline_4eval.py``
+``__main__`` block end to end on CPU — PIL resize to (W, W), ToTensor +
+±0.5 Normalize, flow rescale ``[W/raw_w·speed, W/raw_h·speed]`` + nearest
+resize, align.json ``flow·frame/N`` scaling, per-frame ``forward_flow``
+with the standard ``[0, t, N-1]`` indexing, bilinear output resize to
+half the input size, and uint8 PNG write (``test_baseline_4eval.py:
+157-245``) — then renders the same fixture scene with the same random
+checkpoint through ``slrsfs_tpu.cli.render`` and diffs the final PNGs.
+Module math was already parity-tested; this test pins the HOST pipeline.
+
+Environment shims (the 2022-era driver assumes CUDA + deps this image
+lacks); everything else executed is the reference's own code:
+
+- ``torchvision`` stub implementing Compose/Resize/ToTensor/Normalize as
+  the same thin PIL wrappers torchvision ships;
+- ``cupy`` / ``lz4framed`` import stubs (the fixture flow is a ``.flo``
+  file, so lz4framed is never called);
+- ``torch.load``'s pre-2.6 ``weights_only=False`` default restored (the
+  checkpoint carries an argparse.Namespace ``opts`` like real reference
+  checkpoints);
+- a ``TorchFunctionMode`` rewriting ``device='cuda'`` → cpu and
+  ``Tensor.cuda()`` → identity (covers the hardcoded devices in
+  ``euler_integration_manipulator.py:24-35`` and the driver's ``.cuda()``
+  calls);
+- ``models.softsplat.FunctionSoftsplat`` replaced by a CPU summation
+  splat built on the oracle from ``tests/oracles.py`` (the reference's
+  is a cupy CUDA kernel; the oracle is validated against its semantics
+  in ``tests/test_ops_splat.py``).
+"""
+
+import functools
+import json
+import os
+import runpy
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from oracles import splat_sum_np
+from torch_ref import install_tv_stub
+
+REF = "/root/reference"
+DRIVER = os.path.join(REF, "test_animating", "test_baseline_4eval.py")
+
+W = 64          # model resolution (driver argv[6])
+N = 6           # frames (driver argv[7])
+SPEED = 0.5     # driver argv[8]
+IMG_W, IMG_H = 96, 64   # fixture image -> output 48x32 (driver halves)
+
+
+# ---------------------------------------------------------------------------
+# environment shims
+# ---------------------------------------------------------------------------
+
+def _install_import_stubs():
+    """cupy / lz4framed / torchvision.transforms import stubs."""
+    if "cupy" not in sys.modules:
+        cupy = types.ModuleType("cupy")
+        cupy.memoize = lambda **kw: (lambda f: f)
+        sys.modules["cupy"] = cupy
+    if "av" not in sys.modules:   # utils/utils.py imports PyAV at top level
+        sys.modules["av"] = types.ModuleType("av")
+    if "lz4framed" not in sys.modules:
+        lz4 = types.ModuleType("lz4framed")
+
+        def _unused(_):
+            raise RuntimeError("lz4framed stub: .flo fixture should not "
+                               "reach the compressed-tensor path")
+
+        lz4.decompress = _unused
+        sys.modules["lz4framed"] = lz4
+
+    tv = install_tv_stub()
+    if not hasattr(tv, "transforms"):
+        from PIL import Image
+
+        t = types.ModuleType("torchvision.transforms")
+
+        class Compose:
+            def __init__(self, ts):
+                self.ts = ts
+
+            def __call__(self, x):
+                for f in self.ts:
+                    x = f(x)
+                return x
+
+        class Resize:
+            """torchvision Resize((h, w)) == PIL bilinear resize."""
+
+            def __init__(self, size):
+                self.size = size
+
+            def __call__(self, img):
+                h, w = self.size
+                return img.resize((w, h), Image.BILINEAR)
+
+        class ToTensor:
+            def __call__(self, pic):
+                a = np.asarray(pic, np.uint8)
+                return (torch.from_numpy(a.copy()).permute(2, 0, 1)
+                        .contiguous().float().div(255.0))
+
+        class Normalize:
+            def __init__(self, mean, std):
+                self.mean = torch.tensor(mean).view(-1, 1, 1)
+                self.std = torch.tensor(std).view(-1, 1, 1)
+
+            def __call__(self, x):
+                return (x - self.mean) / self.std
+
+        class ToPILImage:  # imported by the driver, never called
+            def __call__(self, x):
+                raise NotImplementedError
+
+        for cls in (Compose, Resize, ToTensor, Normalize, ToPILImage):
+            setattr(t, cls.__name__, cls)
+        tv.transforms = t
+        sys.modules["torchvision.transforms"] = t
+    return tv
+
+
+class _CudaToCpu(torch.overrides.TorchFunctionMode):
+    """Rewrite device='cuda' kwargs to cpu; make Tensor.cuda() a no-op."""
+
+    def __torch_function__(self, func, ftypes, args=(), kwargs=None):
+        kwargs = dict(kwargs or {})
+        if getattr(func, "__name__", "") == "cuda":
+            return args[0]
+        dev = kwargs.get("device")
+        if dev is not None and "cuda" in str(dev):
+            kwargs["device"] = "cpu"
+        return func(*args, **kwargs)
+
+
+def _cpu_softsplat(tenInput, tenFlow, tenMetric, strType):
+    """CPU stand-in for the reference cupy summation splat."""
+    assert strType == "summation"
+    inp = tenInput.detach().numpy().transpose(0, 2, 3, 1).astype(np.float64)
+    flo = tenFlow.detach().numpy().transpose(0, 2, 3, 1).astype(np.float64)
+    out = np.stack([splat_sum_np(inp[b], flo[b]) for b in range(inp.shape[0])])
+    return torch.from_numpy(out.transpose(0, 3, 1, 2)).float()
+
+
+# ---------------------------------------------------------------------------
+# fixture scene + shared random checkpoint
+# ---------------------------------------------------------------------------
+
+def _write_fixture_scene(d):
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:IMG_H, 0:IMG_W].astype(np.float32)
+    img = np.stack([
+        127 + 100 * np.sin(xx / 9.0),
+        127 + 100 * np.cos(yy / 7.0),
+        127 + 90 * np.sin((xx + yy) / 11.0),
+    ], -1).clip(0, 255).astype(np.uint8)
+    img_path = os.path.join(d, "scene.png")
+    Image.fromarray(img).save(img_path)
+
+    fh, fw = IMG_H // 2, IMG_W // 2   # raw flow at half the image size
+    fy, fx = np.mgrid[0:fh, 0:fw].astype(np.float32)
+    flow = np.stack([1.5 * np.sin(fy / 6.0), 1.2 * np.cos(fx / 5.0)], -1)
+    flow[: fh // 2] = 0.0             # static upper half
+    flo_path = os.path.join(d, "scene.flo")
+    with open(flo_path, "wb") as f:
+        np.float32(202021.25).tofile(f)
+        np.int32(fw).tofile(f)
+        np.int32(fh).tofile(f)
+        flow.astype(np.float32).tofile(f)
+
+    align_path = os.path.join(d, "align.json")
+    with open(align_path, "w") as f:
+        json.dump({"scene": 4.0}, f)
+    return img_path, flo_path, align_path
+
+
+def _build_reference_checkpoint(d):
+    """Random-weight checkpoint via the reference's OWN parser + model."""
+    _install_import_stubs()
+    sys.path.insert(0, REF)
+    try:
+        from options.options import get_model
+        from options.train_options import ArgumentParser as RefParser
+
+        # the shipped baseline flags (train_baseline2_pconv.sh) with
+        # l1-only losses (no VGG weights in this env) and no D
+        opts, _ = RefParser().parse(
+            "--model_type softmax_splating "
+            "--refine_model_type resnet_256W8UpDown64_de_resnet_pconv2_nonorm "
+            "--pconv pconv_pbn_woresbias --norm_G sync:spectral_batch "
+            "--train_Z --use_softmax_splatter --normalize_image "
+            "--losses 1.0_l1 --discriminator_losses 0 "
+            f"--ngf 16 --W {W} --gpu_ids 0")
+        opts.isTrain = False
+        opts.bn_noise_misc = True   # deterministic zero-noise BN
+        torch.manual_seed(7)
+        model = get_model(opts)
+        # settle spectral-norm u/v + BN running stats so eval sigma is a
+        # real spectral norm on both sides (torch_ref.settle_spectral)
+        model.train()
+        with torch.no_grad():
+            for _ in range(8):
+                fs, _z = model.encoder(torch.randn(2, 3, W, W) * 0.5)
+                model.projector(fs * 0.3)
+        model.eval()
+        sd = {f"model.module.{k}": v for k, v in model.state_dict().items()}
+        path = os.path.join(d, "model_epoch.pth")
+        torch.save({"state_dict": sd, "opts": opts, "epoch": 1}, path)
+        return path
+    finally:
+        sys.path.remove(REF)
+
+
+# ---------------------------------------------------------------------------
+# the test
+# ---------------------------------------------------------------------------
+
+def _run_reference_driver(monkeypatch, img_path, flo_path, out_dir, ckpt,
+                          align_path):
+    _install_import_stubs()
+    monkeypatch.syspath_prepend(REF)
+    monkeypatch.setattr(
+        torch, "load",
+        functools.partial(torch.__dict__["load"], weights_only=False))
+    monkeypatch.setattr(os, "system", lambda cmd: 0)  # skip ffmpeg/rm
+    monkeypatch.setattr(sys, "argv", [
+        DRIVER, img_path, flo_path, out_dir, ckpt, "scene", str(W), str(N),
+        str(SPEED), align_path])
+
+    import models.softsplat as ref_softsplat
+
+    monkeypatch.setattr(ref_softsplat, "FunctionSoftsplat", _cpu_softsplat)
+    with _CudaToCpu():
+        runpy.run_path(DRIVER, run_name="__main__")
+
+
+def _read_pngs(d, n):
+    import cv2
+
+    frames = []
+    for t in range(n):
+        p = os.path.join(d, f"{t:06d}.png")
+        assert os.path.exists(p), f"missing frame {p}"
+        frames.append(cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB))
+    return np.stack(frames).astype(np.int32)
+
+
+def test_reference_driver_vs_render_cli(tmp_path, monkeypatch):
+    d = str(tmp_path)
+    img_path, flo_path, align_path = _write_fixture_scene(d)
+    ckpt = _build_reference_checkpoint(d)
+
+    ref_out = os.path.join(d, "ref_out")
+    _run_reference_driver(monkeypatch, img_path, flo_path, ref_out, ckpt,
+                          align_path)
+    ref_frames = _read_pngs(os.path.join(ref_out, "PredImg"), N)
+
+    from slrsfs_tpu.cli.render import render_scene
+
+    our_root = render_scene(img_path, flo_path, os.path.join(d, "ours"),
+                            ckpt=ckpt, name="scene", W=W, n_frames=N,
+                            speed=SPEED, align_json=align_path)
+    our_frames = _read_pngs(os.path.join(our_root, "PredImg"), N)
+
+    assert ref_frames.shape == our_frames.shape == (N, IMG_H // 2,
+                                                    IMG_W // 2, 3)
+    diff = np.abs(ref_frames - our_frames)
+    # allowed deviation: we quantize on device at W² then resize uint8
+    # (cv2 INTER_LINEAR); the reference resizes float then quantizes —
+    # ≤ ~2 levels pointwise from the order swap + fixed-point resize
+    assert diff.mean() <= 1.0, f"mean |Δ| {diff.mean():.3f}"
+    assert np.percentile(diff, 99.5) <= 3, (
+        f"p99.5 |Δ| {np.percentile(diff, 99.5)}, max {diff.max()}")
+    assert diff.max() <= 8, f"max |Δ| {diff.max()}"
