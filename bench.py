@@ -284,7 +284,10 @@ def main():
     extra("slr_fps", "SLR", run_slr_thunk)
 
     # SLR with use_softmax_splatter_v2: the per-frame max-warp Z-norm runs
-    # sparsely (maximum_warp_norm_sparse) — the speed v2 checkpoints get
+    # sparsely (maximum_warp_norm_sparse) — the speed v2 checkpoints get.
+    # Same fast-mode definition as every other row (bf16 splat + bf16 norm
+    # buffers); rounds 1-3 measured this row with an f32 splat by omission,
+    # understating it by ~10 fps (62.0 vs 72.4 measured round 4).
     def run_slr_v2_thunk():
         if "run_v2" not in slr_state:
             _slr_vars()
@@ -293,7 +296,8 @@ def main():
             slr_state["run_v2"] = jax.jit(
                 lambda v_, i, f: slr_rollout_sparse(
                     slr_v2, v_, i, f, N, positions, valid,
-                    decode_batch=DECODE_BATCH, compute_dtype=jnp.bfloat16))
+                    decode_batch=DECODE_BATCH, compute_dtype=jnp.bfloat16,
+                    splat_dtype=jnp.bfloat16))
         return slr_state["run_v2"](slr_state["vars"], img, flow)
 
     extra("slr_v2_fps", "SLR v2 (sparse per-frame max-warp-norm)",
