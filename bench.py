@@ -20,10 +20,17 @@ Additional labeled numbers in the same JSON object:
   end-to-end including the once-per-scene prepare_crop integration+bounds
 * ``rawsize768_nocrop_fps`` — same scene without the crop (in-graph
   integration; the round-2 definition, for cross-round comparability)
+* ``rawsize768_dense_fps`` — 768² on DENSE ESTIMATED flow (nothing exactly
+  zero — the real CLAW eval input) through the render CLI's default flags:
+  eps = 0.5/N sparsify + crop auto, e2e incl. host sparsify + prep
 * ``slr_v2_fps``           — SLR with use_softmax_splatter_v2: the per-frame
   max-warp Z-norm now runs on the sparse path
   (ops/splat.py:maximum_warp_norm_sparse) — the speed a v2-trained
   checkpoint actually gets
+* ``train_step_s`` / ``train_step_est_s`` / ``train_step_bf16_s`` — training
+  throughput at the reference shipped shape (B=16, W=256): fully-dense f32 /
+  dense-estimated data with the default eps moving sets / the same in bf16
+  compute
 
 Extras degrade gracefully: each runs under a wall-clock budget
 (``BENCH_BUDGET_S``, default 900 s) and any failure/skip only drops that
@@ -254,6 +261,47 @@ def main():
     extra("rawsize768_fps", "rawsize 768x768 (crop auto, e2e incl prep)",
           run_crop768)
 
+    # rawsize 768² on DENSE ESTIMATED flow — the real CLAW eval input
+    # (`*_motion.pth` is estimated, nowhere exactly zero;
+    # test_baseline_4eval_rawsize.py:173-184) — through the render CLI's
+    # DEFAULT flags: eps = 0.5/N sparsify (error-bounded: every zeroed
+    # pixel drifts < 0.5 px over the rollout; measured quality-neutral,
+    # GAPS.md eps table) + --crop-decode auto. Scene: 30%-of-frame moving
+    # band (typical CLAW fluid coverage), sub-eps estimation noise
+    # everywhere else. Timed END-TO-END per scene: host sparsify +
+    # prepare_scene_sparse + prepare_crop + crop rollout.
+    from tools.dense768_bench import make_dense_scene
+
+    img5_np, flow5_np = make_dense_scene(np.random.default_rng(7), 768, 768,
+                                         N, band_frac=0.30)
+    img5 = jnp.asarray(img5_np)
+    dense_state = {}
+
+    def run_dense768():
+        eps = 0.5 / N
+        speed = np.sqrt(flow5_np[..., 0] ** 2 + flow5_np[..., 1] ** 2)
+        fl = np.where((speed < eps)[..., None], 0.0,
+                      flow5_np).astype(np.float32)
+        positions, valid = prepare_scene_sparse(fl)
+        fl_d, pos_d, val_d = (jnp.asarray(fl), jnp.asarray(positions),
+                              jnp.asarray(valid))
+        disp, crop = prepare_crop(opt, False, fl_d, pos_d, val_d, N)
+        if "fn" not in dense_state:
+            dense_state["fn"] = jax.jit(
+                lambda v, i, f, p, va, d, offs: baseline_rollout_sparse(
+                    model, v, i, f, N, p, va, decode_batch=30,
+                    compute_dtype=jnp.bfloat16, splat_dtype=jnp.bfloat16,
+                    crop=crop, disp=d, crop_offsets=offs))
+        offs = (None if crop is None else
+                jnp.asarray([crop.y0, crop.x0, crop.py0, crop.px0],
+                            jnp.int32))
+        return dense_state["fn"](variables, img5, fl_d, pos_d, val_d, disp,
+                                 offs)
+
+    extra("rawsize768_dense_fps",
+          "rawsize 768x768 DENSE estimated flow, default flags (eps+crop)",
+          run_dense768)
+
     # SLR two-layer model, bf16. Init (its ~100 s compile included) is lazy
     # so an exhausted budget skips it entirely.
     slr_state = {}
@@ -304,10 +352,19 @@ def main():
           run_slr_v2_thunk)
 
     # training throughput (reference shipped shape B=16 W=256); labeled
-    # fields only — budget-guarded like every extra
+    # fields only — each row budget-guarded like every extra:
+    # * train_step_s      — fully-dense f32 worst case (rounds 2-4 series)
+    # * train_step_est_s  — DENSE ESTIMATED data (30% truly-moving band +
+    #   sub-eps noise) through the train CLI's default eps moving sets
+    #   (attach_moving_sets eps=0.5/T, compact phased integration) — the
+    #   step real estimated-flow data gets (round-4 VERDICT #5)
+    # * train_step_bf16_s — same est batch, --train-compute-dtype bfloat16
+    #   (re-measured after the round-3 motion-dtype fix: motions stay f32
+    #   through integration)
     left = budget_s - (time.perf_counter() - t_start)
-    if left >= 300:
+    if left >= 240:
         try:
+            from slrsfs_tpu.cli.train import attach_moving_sets
             from slrsfs_tpu.engine.trainer import Trainer
             from slrsfs_tpu.models.baseline import BaselineTrainable
             from tools.train_bench import make_batch, time_step
@@ -324,6 +381,53 @@ def main():
             print(f"# train step B16 W256: {best*1000:.0f}ms "
                   f"({16/best:.1f} samples/s, compile {tc:.0f}s)",
                   file=sys.stderr)
+            emit(extras)
+
+            def est_batch():
+                trng = np.random.default_rng(3)
+                eb = make_batch(trng, 16, 256, moving_frac=0.30)
+                mo = np.asarray(eb["motions"]).copy()
+                static = ~np.any(mo != 0.0, axis=-1)
+                eps_t = 0.5 / 60
+                theta = trng.uniform(0, 2 * np.pi, mo.shape[:-1])
+                spd = trng.uniform(0, 0.9 * eps_t, mo.shape[:-1])
+                noise = np.stack([spd * np.cos(theta),
+                                  spd * np.sin(theta)], -1)
+                mo = np.where(static[..., None], noise, mo).astype(
+                    np.float32)
+                nb = {k: ([np.asarray(x) for x in v]
+                          if isinstance(v, list) else np.asarray(v))
+                      for k, v in eb.items()}
+                nb["motions"] = mo
+                nb = attach_moving_sets(nb, eps=eps_t)
+                assert "mov_pos" in nb, "eps moving sets must engage"
+                return {k: ([jnp.asarray(x) for x in v]
+                            if isinstance(v, list) else jnp.asarray(v))
+                        for k, v in nb.items()}
+
+            def train_row(name, opt_t, batch_t, note):
+                left2 = budget_s - (time.perf_counter() - t_start)
+                if left2 < 120:
+                    print(f"# SKIP {name}: budget ({left2:.0f}s left)",
+                          file=sys.stderr)
+                    return
+                m2 = BaselineTrainable(opt_t, train_max_steps=60)
+                tr2 = Trainer(opt_t, m2, steps_per_epoch=500)
+                st2 = tr2.init_state(jax.random.PRNGKey(0), batch_t)
+                sp2 = jax.jit(tr2.make_train_step(), donate_argnums=(0,))
+                b2, c2 = time_step(tr2, sp2, st2, batch_t, runs=2)
+                extras[name] = round(b2, 3)
+                print(f"# {note}: {b2*1000:.0f}ms ({16/b2:.1f} samples/s, "
+                      f"compile {c2:.0f}s)", file=sys.stderr)
+                emit(extras)
+
+            eb = est_batch()
+            train_row("train_step_est_s", topt, eb,
+                      "train step, dense ESTIMATED data + default eps "
+                      "moving sets (30% band)")
+            train_row("train_step_bf16_s",
+                      topt.replace(train_compute_dtype="bfloat16"), eb,
+                      "train step, est data + eps sets, bf16 compute")
         except Exception as e:  # noqa: BLE001
             print(f"# FAIL train_step: {type(e).__name__}: {e}",
                   file=sys.stderr)

@@ -67,7 +67,8 @@ class SceneRenderer:
                  dtype: str = "float32", decode_batch: int = 60,
                  seed: int = 0, motion_ckpt: str = None,
                  opt_overrides: dict = None, shard_frames: bool = False,
-                 sparsify_eps: float = 0.0, crop_decode: str = "auto"):
+                 sparsify_eps: float = None, crop_decode: str = "auto",
+                 p_bucket_ratio: float = None):
         from concurrent.futures import ThreadPoolExecutor
 
         from slrsfs_tpu.config import Options
@@ -95,15 +96,23 @@ class SceneRenderer:
         while n_frames % db:
             db -= 1
         self.decode_batch = db
-        # opt-in sparsifier: zero sub-threshold motion so estimated (dense)
-        # GT flows ride the sparse fast path. A zeroed pixel with speed s
+        # Sparsifier: zero sub-threshold motion so estimated (dense) GT
+        # flows ride the sparse fast path. A zeroed pixel with speed s
         # drifts <= N*s px over the rollout, so eps = 0.5/N bounds the
-        # position error of every zeroed pixel at half a pixel.
+        # position error of every zeroed pixel at half a pixel. None =
+        # auto: the error-bounded default engages for --rawsize renders
+        # (the CLAW eval protocol, where the crop win matters most —
+        # measured quality-neutral, GAPS.md eps table); pass 0.0 to
+        # disable explicitly.
         self.sparsify_eps = sparsify_eps
         # 'auto': splat+decode only the moving-region window when its area
         # is < 85% of the frame and paste onto one full-frame static decode
         # — exact (engine/rollout.py crop section), cost ∝ window area
         self.crop_decode = crop_decode
+        # geometric moving-set size buckets (prepare_scene_sparse): sweeps
+        # set ~1.25 so scenes share compiled rollout shapes; None = exact
+        # 1024-padding (best per-scene speed)
+        self.p_bucket_ratio = p_bucket_ratio
 
         self.regressor = self.m_vars = None
         if motion_ckpt:
@@ -272,17 +281,21 @@ class SceneRenderer:
                 align = json.load(f)
             if name in align:
                 flow = flow * (align[name] / float(n_frames))
-        if self.sparsify_eps > 0.0:
+        eps = self.sparsify_eps
+        if eps is None:  # auto: error-bounded default for rawsize renders
+            eps = 0.5 / n_frames if rawsize else 0.0
+        if eps > 0.0:
             speed = np.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
-            sub = speed < self.sparsify_eps
+            sub = speed < eps
             zeroed = sub & (speed > 0)
             if zeroed.any():
-                print(f"sparsify eps={self.sparsify_eps:g}: zeroed "
+                print(f"sparsify eps={eps:g}: zeroed "
                       f"{zeroed.mean():.1%} of pixels (max trajectory drift "
                       f"{speed[zeroed].max() * n_frames:.2f}px over "
                       f"{n_frames} frames)")
             flow = np.where(sub[..., None], 0.0, flow).astype(np.float32)
-        positions, valid = prepare_scene_sparse(flow)
+        positions, valid = prepare_scene_sparse(
+            flow, bucket_ratio=self.p_bucket_ratio)
 
         region = jnp.zeros((1, W, W, 1), jnp.float32)
         if alpha_region_path:
@@ -458,12 +471,14 @@ def main(argv=None):
                    help="shard the frame axis over all visible chips "
                         "(multi-chip inference; n-frames must divide the "
                         "device count)")
-    p.add_argument("--sparsify-eps", type=float, default=0.0,
+    p.add_argument("--sparsify-eps", type=float, default=None,
                    help="zero motion below this speed so dense estimated "
                         "flows ride the sparse fast path; eps = 0.5/N "
                         "bounds every zeroed pixel's trajectory drift at "
                         "half a pixel (tools/scene_stats.py measures "
-                        "per-scene impact)")
+                        "per-scene impact). Default: auto — 0.5/N for "
+                        "--rawsize renders (measured quality-neutral, "
+                        "GAPS.md), 0 otherwise; pass 0 to disable")
     p.add_argument("--crop-decode", choices=["auto", "off"], default="auto",
                    help="'auto': per frame, splat+decode only the moving-"
                         "region window (receptive-field-haloed — exact) and "

@@ -15,6 +15,7 @@ import argparse
 import glob
 import json
 import os
+import time
 
 
 def main(argv=None):
@@ -39,8 +40,9 @@ def main(argv=None):
                    help="motion file suffix paired with _input.jpg")
     p.add_argument("--shard-frames", action="store_true",
                    help="shard the frame axis over all visible chips")
-    p.add_argument("--sparsify-eps", type=float, default=0.0,
-                   help="zero motion below this speed (see cli.render)")
+    p.add_argument("--sparsify-eps", type=float, default=None,
+                   help="zero motion below this speed (see cli.render; "
+                        "default auto = 0.5/N for --rawsize, 0 otherwise)")
     p.add_argument("--opt-overrides", default=None,
                    help="JSON dict of Options fields overriding the "
                         "checkpoint/default config (tests + ablations)")
@@ -48,6 +50,11 @@ def main(argv=None):
                    help="moving-region cropped decode (see cli.render); "
                         "crop plans are bucket-quantized so scenes share "
                         "compiled rollout shapes across the sweep")
+    p.add_argument("--p-bucket-ratio", type=float, default=1.25,
+                   help="geometric moving-set size buckets: scenes whose "
+                        "moving-pixel counts fall in the same bucket share "
+                        "one compiled rollout (<= (ratio-1) padded scatter "
+                        "rows of overhead); 1.0 = exact padding")
     a = p.parse_args(argv)
 
     from slrsfs_tpu.cli.render import SceneRenderer
@@ -63,9 +70,13 @@ def main(argv=None):
                              dtype=a.dtype, shard_frames=a.shard_frames,
                              sparsify_eps=a.sparsify_eps,
                              crop_decode=a.crop_decode,
+                             p_bucket_ratio=(a.p_bucket_ratio
+                                             if a.p_bucket_ratio > 1.0
+                                             else None),
                              opt_overrides=(json.loads(a.opt_overrides)
                                             if a.opt_overrides else None))
     done, skipped = 0, []
+    t0 = time.perf_counter()
     for img_path in inputs:
         name = os.path.basename(img_path)[: -len("_input.jpg")]
         flow_path = os.path.join(a.scenes_dir, name + a.flow_suffix)
@@ -81,10 +92,20 @@ def main(argv=None):
         renderer.render(img_path, flow_path, a.save_dir, name=name,
                         speed=a.speed, align_json=a.align, rawsize=a.rawsize)
         done += 1
-        print(f"[{done}/{len(inputs)}] {name}")
+        print(f"[{done}/{len(inputs)}] {name} "
+              f"({time.perf_counter() - t0:.1f}s elapsed)", flush=True)
     renderer.finish()
+    elapsed = time.perf_counter() - t0
     if skipped:
         print(f"skipped (no motion file): {skipped}")
+    if done:
+        # sweep economics: the reference spawns a fresh python + checkpoint
+        # load per scene (test_all_CLAW_scenes.py:71-96); here one renderer
+        # compiles each (P-bucket × crop-size-bucket) rollout shape once
+        print(f"sweep: {done} scenes in {elapsed:.1f}s "
+              f"({done / elapsed * 3600:.0f} scenes/hour incl. compiles + "
+              f"saves), {len(renderer._jit_cache)} compiled rollout "
+              f"program(s)")
 
 
 if __name__ == "__main__":

@@ -55,7 +55,8 @@ def _to_device_batch(batch):
     return out
 
 
-def attach_moving_sets(batch, max_frac: float = 0.5, state=None):
+def attach_moving_sets(batch, max_frac: float = 0.5, state=None,
+                       eps: float = 0.0):
     """Host-side moving-pixel sets for the compact training integration
     (models/baseline.py:train_integrate).
 
@@ -63,6 +64,15 @@ def attach_moving_sets(batch, max_frac: float = 0.5, state=None):
     with P a power-of-two bucket. Returns the batch unchanged when the
     largest sample's moving fraction exceeds ``max_frac`` — there the
     dense phased scan is no slower and needs no scatter-back.
+
+    ``eps`` > 0 zeroes sub-threshold motion first (same error-bounded
+    sparsifier as the render CLI: a zeroed pixel with speed s drifts
+    <= T·s px over the T-step integration, so eps = 0.5/T bounds every
+    zeroed trajectory at half a pixel). Training data is ESTIMATED dense
+    flow — nowhere exactly zero — so without it the compact path never
+    engages (>50 % "moving") and integration stays ~33 % of the step.
+    One-step loss parity vs the unsparsified batch is pinned by
+    tests/test_trainer.py:test_train_sparsify_eps_loss_parity.
 
     ``state`` (a dict the caller keeps across batches) makes the decision
     STICKY for a run: the first batch picks sparse-vs-dense and the P
@@ -72,6 +82,14 @@ def attach_moving_sets(batch, max_frac: float = 0.5, state=None):
     it the step retraces at most log2(H·W/1024) times."""
     m = np.asarray(batch["motions"])
     flow = m[..., :2] * m[..., 2:3] if m.shape[-1] == 3 else m  # uv·m fold
+    if eps > 0.0:
+        speed = np.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
+        sub = speed < eps
+        if sub.any():
+            m = np.where(sub[..., None], 0.0, m).astype(m.dtype)
+            flow = np.where(sub[..., None], 0.0, flow)
+            batch = dict(batch)
+            batch["motions"] = m
     moving = np.any(flow != 0.0, axis=-1)  # (B, H, W)
     B, H, W = moving.shape
     counts = moving.reshape(B, -1).sum(1)
@@ -209,6 +227,13 @@ def main(argv=None):
                         "training pass (exact for exact-zero static motion; "
                         "auto falls back to the dense scan per batch when "
                         ">50%% of pixels move)")
+    p.add_argument("--train-sparsify-eps", type=float, default=None,
+                   help="zero training motion below this speed so ESTIMATED "
+                        "dense GT flows ride the compact moving-set "
+                        "integration. Default auto = 0.5/train_max_steps "
+                        "(bounds every zeroed trajectory's drift at half a "
+                        "pixel over the clip; loss-parity pinned in "
+                        "tests/test_trainer.py); pass 0 to disable")
     p.add_argument("--train-max-steps", type=int, default=60,
                    help="static bound on per-sample Euler integration steps; "
                         "must be >= the sampled end-start+1 span (= clip "
@@ -421,6 +446,9 @@ def main(argv=None):
     # sticky across EPOCHS too: one sparse-vs-dense decision + a monotone
     # P bucket for the whole run (see attach_moving_sets)
     mov_state = {}
+    sparsify_eps = a.train_sparsify_eps
+    if sparsify_eps is None:  # auto: the error-bounded default
+        sparsify_eps = 0.5 / a.train_max_steps if sparse_motion else 0.0
 
     def _micro_batches(it):
         """Group the stream into accum-sized micro-batch lists (reference
@@ -428,7 +456,8 @@ def main(argv=None):
         group = []
         for b in it:
             if sparse_motion:
-                b = attach_moving_sets(b, state=mov_state)
+                b = attach_moving_sets(b, state=mov_state,
+                                       eps=sparsify_eps)
             group.append(_to_device_batch(b))
             if len(group) == accum:
                 yield group if accum > 1 else group[0]

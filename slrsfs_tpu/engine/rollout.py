@@ -141,17 +141,31 @@ from slrsfs_tpu.ops.splat import (
 )
 
 
-def prepare_scene_sparse(flow_np, pad_multiple: int = 1024):
+def prepare_scene_sparse(flow_np, pad_multiple: int = 1024,
+                         bucket_ratio: float = None):
     """Host-side: indices of moving pixels, padded to a static shape.
 
     flow_np: (H, W, 2) numpy motion field. Returns (positions (P, 2) int32
     [x, y], valid (P,) float32) with P a multiple of ``pad_multiple``.
-    """
+
+    ``bucket_ratio`` (e.g. 1.25) additionally rounds P up to a fixed
+    geometric series {pad_multiple·⌈ratio^k⌉}, capped at H·W: a multi-scene
+    sweep then maps every scene onto O(log(H·W)/log(ratio)) rollout shapes
+    instead of one per scene (the jit cache is keyed by P), trading ≤
+    (ratio−1) extra padded scatter rows — ~17-27 ns each, GAPS.md cost
+    model — for a ~25-50 s compile per otherwise-novel shape."""
     flow_np = np.asarray(flow_np)
     moving = np.any(flow_np != 0.0, axis=-1)
     ys, xs = np.nonzero(moving)
     n = len(xs)
     P = max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
+    if bucket_ratio is not None and bucket_ratio > 1.0:
+        cap = -(-moving.size // pad_multiple) * pad_multiple
+        b = pad_multiple
+        while b < P:
+            b = min(cap, -(-int(b * bucket_ratio) // pad_multiple)
+                    * pad_multiple)
+        P = b
     positions = np.zeros((P, 2), np.int32)
     positions[:n, 0] = xs
     positions[:n, 1] = ys

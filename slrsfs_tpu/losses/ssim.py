@@ -23,7 +23,14 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _depthwise_filter(x: Array, w2d: np.ndarray) -> Array:
-    """Per-channel 'same' convolution with the gaussian window. NHWC."""
+    """Per-channel 'same' convolution with the gaussian window. NHWC.
+
+    Precision pinned to HIGHEST: on TPU the default conv precision is a
+    single bf16 pass, which destroys the variance estimates downstream
+    (sigma = E[x²] − mu² cancels ~0.25 down to ~1e-3-scale values, below
+    bf16's error at that magnitude — measured SSIM 0.03 for IDENTICAL
+    768² images on v5e before the pin). An 11×11 depthwise window is
+    negligible FLOPs, so full precision costs nothing."""
     C = x.shape[-1]
     k = jnp.asarray(w2d)[:, :, None, None]  # (kh, kw, 1, 1)
     k = jnp.tile(k, (1, 1, 1, C))  # HWIO with feature_group_count=C
@@ -32,6 +39,7 @@ def _depthwise_filter(x: Array, w2d: np.ndarray) -> Array:
         x, k, (1, 1), [(p, p), (p, p)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

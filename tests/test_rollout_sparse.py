@@ -87,6 +87,32 @@ def test_prepare_scene_padding():
     assert (pos[0] == [3, 2]).all()
 
 
+def test_prepare_scene_geometric_buckets():
+    """bucket_ratio maps nearby moving-set sizes onto one fixed geometric
+    bucket series (round-4 sweep sharing: the jit cache keys on P, so a
+    multi-scene sweep recompiles per scene without it), capped at H·W."""
+    H = W = 64
+
+    def P_of(n, **kw):
+        flow = np.zeros((H, W, 2), np.float32)
+        flow.reshape(-1, 2)[:n, 0] = 1.0
+        return prepare_scene_sparse(flow, pad_multiple=16, **kw)[0].shape[0]
+
+    # exact padding: one bucket per 16 rows
+    assert P_of(33) == 48 and P_of(49) == 64
+    # geometric: nearby sizes share a bucket from the fixed series
+    ps = {n: P_of(n, bucket_ratio=1.25) for n in (33, 40, 200, 230, 4000)}
+    assert ps[33] == ps[40]
+    assert ps[200] == ps[230]
+    for n, p in ps.items():
+        assert p >= n and p <= H * W
+    # validity content is unchanged by bucketing
+    flow = np.zeros((H, W, 2), np.float32)
+    flow.reshape(-1, 2)[:33, 0] = 1.0
+    pos, val = prepare_scene_sparse(flow, pad_multiple=16, bucket_ratio=1.25)
+    assert val.sum() == 33
+
+
 def test_maximum_warp_norm_sparse_matches_dense_op():
     """maximum_warp_norm_sparse == maximum_warp_norm_splat at static pixels
     (dense map) and moving pixels (compact vector), including border landings

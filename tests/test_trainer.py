@@ -229,16 +229,20 @@ def test_frame_sharded_v2_and_bf16_match_sparse():
     """Round-3 capability (VERDICT missing #3): v2 checkpoints
     (use_softmax_splatter_v2 per-frame max-warp-norm) and the bf16 speed
     modes run frame-sharded; 8-device results must match the single-device
-    sparse rollout in the same mode."""
+    sparse rollout in the same mode.
+
+    One v2-SLR-bf16 pair covers all three claims at once (round-4 suite
+    trim: the earlier extra v2-baseline-f32 pair re-traced two more
+    rollout programs for coverage the plain sharded tests + the sparse v2
+    exactness tests already pin — v2-sharded f32 exactness follows from
+    sharding exactness (non-v2 pairs above, 2e-5) + sparse v2 exactness
+    (tests/test_rollout_sparse.py))."""
     from slrsfs_tpu.engine.init_utils import jit_init, settle
     from slrsfs_tpu.engine.rollout import (
-        baseline_rollout_frame_sharded,
-        baseline_rollout_sparse,
         prepare_scene_sparse,
         slr_rollout_frame_sharded,
         slr_rollout_sparse,
     )
-    from slrsfs_tpu.models.baseline import BaselineModel
     from slrsfs_tpu.models.slr import SLRModel
     from slrsfs_tpu.parallel.mesh import make_mesh, replicate
 
@@ -252,23 +256,6 @@ def test_frame_sharded_v2_and_bf16_match_sparse():
     pos, valid = jnp.asarray(pos), jnp.asarray(valid)
     flow = jnp.asarray(flow)
     mesh = make_mesh(8)
-
-    # --- v2 baseline, exact f32 equivalence --------------------------------
-    opt = tiny_options(W=W, use_softmax_splatter_v2=True)
-    model = BaselineModel(opt)
-    variables = jit_init(
-        model,
-        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        img, False, True)
-    variables = settle(model, variables, (img,), n=2)
-    want = jax.jit(lambda v, i, f: baseline_rollout_sparse(
-        model, v, i, f, N, pos, valid, decode_batch=4))(variables, img, flow)
-    run = jax.jit(lambda v, i, f, p, va: baseline_rollout_frame_sharded(
-        model, v, i, f, N, p, va, mesh))
-    got = run(replicate(variables, mesh), img, flow, pos, valid)
-    assert len(got.sharding.device_set) == 8
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-5, atol=2e-5)
 
     # --- v2 SLR + bf16 compute + bf16 splat accumulation -------------------
     opt2 = tiny_options(W=W,
@@ -447,6 +434,51 @@ def test_train_step_compact_moving_sets_exact(base_trainer):
     # dense fallback: >50% moving returns the batch unchanged
     dense_b = {"motions": np.ones((2, 32, 32, 2), np.float32)}
     assert "mov_pos" not in attach_moving_sets(dense_b)
+
+
+def test_train_sparsify_eps_loss_parity(base_trainer):
+    """eps-sparsified moving sets on ESTIMATED dense motion (round 4):
+    zeroing sub-eps estimation noise engages the compact path on data with
+    no exact zeros, and the one-step losses match the unsparsified dense
+    step to well within the drift bound's effect (the zeroed pixels move
+    < eps·T = 0.5 px over the whole clip, so their splat targets shift by
+    less than half a pixel)."""
+    from slrsfs_tpu.cli.train import attach_moving_sets
+
+    rng = np.random.default_rng(17)
+    batch = _tiny_batch(rng)
+    motions = np.asarray(batch["motions"]).copy()
+    # dense-estimate structure: bottom half truly moving, top half
+    # sub-threshold estimation noise (nothing exactly zero)
+    T = 4
+    eps = 0.5 / T
+    noise = rng.uniform(0.05 * eps, 0.9 * eps, (2, 16, 32))
+    theta = rng.uniform(0, 2 * np.pi, (2, 16, 32))
+    motions[:, :16, :, 0] = noise * np.cos(theta)
+    motions[:, :16, :, 1] = noise * np.sin(theta)
+    assert (np.abs(motions).sum(-1) > 0).all()
+    batch["motions"] = jnp.asarray(motions)
+    state = base_trainer["state"]
+    step = base_trainer["step1"]
+
+    # without eps: no exact zeros -> 100% moving -> no compact sets
+    np_batch = {k: (np.asarray(v) if not isinstance(v, list) else v)
+                for k, v in batch.items()}
+    assert "mov_pos" not in attach_moving_sets(dict(np_batch))
+
+    s_dense, logs_dense = step(state, batch, jax.random.PRNGKey(1))
+    eps_batch = attach_moving_sets(dict(np_batch), eps=eps)
+    assert "mov_pos" in eps_batch
+    assert eps_batch["mov_valid"].sum(axis=1).max() <= 32 * 16
+    # the sparsifier zeroed the noise region in the batch's motions
+    assert (np.asarray(eps_batch["motions"])[:, :16] == 0.0).all()
+    s_eps, logs_eps = step(
+        state, {k: (jnp.asarray(v) if not isinstance(v, list) else v)
+                for k, v in eps_batch.items()}, jax.random.PRNGKey(1))
+
+    for k in logs_dense:
+        a, b = float(np.asarray(logs_dense[k])), float(np.asarray(logs_eps[k]))
+        assert abs(a - b) <= 0.05 * max(1.0, abs(a)), (k, a, b)
 
 
 def test_frame_sharded_crop_matches_sparse_crop():
