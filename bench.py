@@ -190,17 +190,27 @@ def main():
     def extra(name, note, thunk, runs=2):
         """Run one labeled extra config; a failure or an exhausted time
         budget (BENCH_BUDGET_S) degrades to a missing field, never to a
-        missing JSON line (the driver records whatever prints)."""
+        missing JSON line (the driver records whatever prints).
+
+        One bounded retry per row: a transient relay/remote-compile error
+        (e.g. the JaxRuntimeError that dropped slr_v2_fps in round 4) gets a
+        30 s backoff and a second attempt before the row is abandoned."""
         left = budget_s - (time.perf_counter() - t_start)
         if left < 60:
             print(f"# SKIP {name}: time budget exhausted ({left:.0f}s left)",
                   file=sys.stderr)
             return
-        try:
-            _, c, b = _time_fn(thunk, runs=runs)
-        except Exception as e:  # noqa: BLE001 — a bench config must not kill the line
-            print(f"# FAIL {name}: {type(e).__name__}: {e}", file=sys.stderr)
-            return
+        for attempt in (1, 2):
+            try:
+                _, c, b = _time_fn(thunk, runs=runs)
+                break
+            except Exception as e:  # noqa: BLE001 — a bench config must not kill the line
+                print(f"# FAIL {name} (attempt {attempt}/2): "
+                      f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+                left = budget_s - (time.perf_counter() - t_start)
+                if attempt == 2 or left < 90:
+                    return
+                time.sleep(30)
         extras[name] = round(N / b, 2)
         print(f"# {note}: {b*1000:.1f}ms compile={c:.1f}s", file=sys.stderr)
         # re-emit the enriched line NOW: a mid-bench relay death then still
@@ -333,8 +343,9 @@ def main():
 
     # SLR with use_softmax_splatter_v2: the per-frame max-warp Z-norm runs
     # sparsely (maximum_warp_norm_sparse) — the speed v2 checkpoints get.
-    # Same fast-mode definition as every other row (bf16 splat + bf16 norm
-    # buffers); rounds 1-3 measured this row with an f32 splat by omission,
+    # Same fast-mode definition as every other row (bf16 compute + bf16 main
+    # splat; the v2 norm buffers stay f32 — bf16 there was measured worse,
+    # GAPS.md); rounds 1-3 measured this row with an f32 splat by omission,
     # understating it by ~10 fps (62.0 vs 72.4 measured round 4).
     def run_slr_v2_thunk():
         if "run_v2" not in slr_state:
@@ -413,9 +424,20 @@ def main():
                     return
                 m2 = BaselineTrainable(opt_t, train_max_steps=60)
                 tr2 = Trainer(opt_t, m2, steps_per_epoch=500)
-                st2 = tr2.init_state(jax.random.PRNGKey(0), batch_t)
-                sp2 = jax.jit(tr2.make_train_step(), donate_argnums=(0,))
-                b2, c2 = time_step(tr2, sp2, st2, batch_t, runs=2)
+                for attempt in (1, 2):  # bounded retry, same as extra()
+                    try:
+                        st2 = tr2.init_state(jax.random.PRNGKey(0), batch_t)
+                        sp2 = jax.jit(tr2.make_train_step(),
+                                      donate_argnums=(0,))
+                        b2, c2 = time_step(tr2, sp2, st2, batch_t, runs=2)
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        print(f"# FAIL {name} (attempt {attempt}/2): "
+                              f"{type(e).__name__}: {e}", file=sys.stderr,
+                              flush=True)
+                        if attempt == 2:
+                            return
+                        time.sleep(30)
                 extras[name] = round(b2, 3)
                 print(f"# {note}: {b2*1000:.0f}ms ({16/b2:.1f} samples/s, "
                       f"compile {c2:.0f}s)", file=sys.stderr)

@@ -56,7 +56,7 @@ def _to_device_batch(batch):
 
 
 def attach_moving_sets(batch, max_frac: float = 0.5, state=None,
-                       eps: float = 0.0):
+                       eps: float = 0.0, n_steps: int = None):
     """Host-side moving-pixel sets for the compact training integration
     (models/baseline.py:train_integrate).
 
@@ -86,6 +86,17 @@ def attach_moving_sets(batch, max_frac: float = 0.5, state=None,
         speed = np.sqrt(flow[..., 0] ** 2 + flow[..., 1] ** 2)
         sub = speed < eps
         if sub.any():
+            zeroed = sub & (speed > 0)
+            if zeroed.any() and not (state or {}).get("eps_logged"):
+                # once per run: mirror the render CLI's sparsify print so a
+                # training run signals that its GT motion was modified
+                T = n_steps if n_steps else round(0.5 / eps)
+                print(f"train sparsify eps={eps:g}: zeroed "
+                      f"{zeroed.mean():.1%} of pixels (max trajectory drift "
+                      f"{speed[zeroed].max() * T:.2f}px over the "
+                      f"{T}-step integration)", flush=True)
+                if state is not None:
+                    state["eps_logged"] = True
             m = np.where(sub[..., None], 0.0, m).astype(m.dtype)
             flow = np.where(sub[..., None], 0.0, flow)
             batch = dict(batch)
@@ -457,7 +468,8 @@ def main(argv=None):
         for b in it:
             if sparse_motion:
                 b = attach_moving_sets(b, state=mov_state,
-                                       eps=sparsify_eps)
+                                       eps=sparsify_eps,
+                                       n_steps=a.train_max_steps)
             group.append(_to_device_batch(b))
             if len(group) == accum:
                 yield group if accum > 1 else group[0]

@@ -163,8 +163,12 @@ def prepare_scene_sparse(flow_np, pad_multiple: int = 1024,
         cap = -(-moving.size // pad_multiple) * pad_multiple
         b = pad_multiple
         while b < P:
-            b = min(cap, -(-int(b * bucket_ratio) // pad_multiple)
-                    * pad_multiple)
+            # max(..., b + pad_multiple) forces monotone progress: a ratio
+            # in (1.0, 1 + 1/pad_multiple) would otherwise round back to b
+            # and loop forever
+            b = min(cap, max(b + pad_multiple,
+                             -(-int(b * bucket_ratio) // pad_multiple)
+                             * pad_multiple))
         P = b
     positions = np.zeros((P, 2), np.int32)
     positions[:n, 0] = xs

@@ -111,6 +111,10 @@ def test_prepare_scene_geometric_buckets():
     flow.reshape(-1, 2)[:33, 0] = 1.0
     pos, val = prepare_scene_sparse(flow, pad_multiple=16, bucket_ratio=1.25)
     assert val.sum() == 33
+    # a ratio in (1.0, 1 + 1/pad_multiple) must terminate (round-4 advisor:
+    # int(b*ratio) used to round back to b and loop forever) and still cover n
+    assert P_of(33, bucket_ratio=1.01) >= 33
+    assert P_of(4000, bucket_ratio=1.0005) >= 4000
 
 
 def test_maximum_warp_norm_sparse_matches_dense_op():
