@@ -76,21 +76,28 @@ def main():
         if P not in jit_cache:
             cd = jnp.float32 if f32 else jnp.bfloat16
             sd = None if f32 else jnp.bfloat16
+            # f32 decode activations are 2x bf16: db=15 at 768² OOMs
+            # (16.3 of 15.75 G HBM, f32[15,768,768,128] decode temps)
+            db = 5 if f32 else 15
             jit_cache[P] = jax.jit(
                 lambda v, i, f, p, va: baseline_rollout_sparse(
-                    model, v, i, f, N, p, va, decode_batch=15,
+                    model, v, i, f, N, p, va, decode_batch=db,
                     compute_dtype=cd, splat_dtype=sd))
         return np.asarray(jit_cache[P](
             variables, img, jnp.asarray(flow_np), jnp.asarray(positions),
             jnp.asarray(valid)).astype(jnp.float32))
 
     def score(x, y):
-        # frames are [-1, 1]; metrics on [0, 1] like the eval harness
-        x01 = jnp.asarray(np.clip(x * 0.5 + 0.5, 0, 1))
-        y01 = jnp.asarray(np.clip(y * 0.5 + 0.5, 0, 1))
-        ps = float(np.mean([float(psnr01(x01[t:t + 1], y01[t:t + 1]))
-                            for t in range(0, N, 6)]))
-        ss = float(np.mean([float(ssim01(x01[t:t + 1], y01[t:t + 1]))
+        # frames are [-1, 1]; metrics on [0, 1] like the eval harness.
+        # PSNR from the GLOBAL MSE over every frame (a sampled per-frame
+        # mean can read inf when the sampled frames happen to agree
+        # bitwise while off-sample frames differ)
+        x01 = np.clip(x.astype(np.float64) * 0.5 + 0.5, 0, 1)
+        y01 = np.clip(y.astype(np.float64) * 0.5 + 0.5, 0, 1)
+        mse = float(np.mean((x01 - y01) ** 2))
+        ps = float("inf") if mse == 0.0 else float(10 * np.log10(1.0 / mse))
+        ss = float(np.mean([float(ssim01(jnp.asarray(x01[t:t + 1]),
+                                         jnp.asarray(y01[t:t + 1])))
                             for t in range(0, N, 6)]))
         return ps, ss
 
