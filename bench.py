@@ -31,9 +31,12 @@ Additional labeled numbers in the same JSON object:
   throughput at the reference shipped shape (B=16, W=256): fully-dense f32 /
   dense-estimated data with the default eps moving sets / the same in bf16
   compute
+* ``sweep_scenes_per_hour`` / ``sweep_compiled_programs`` — 4-scene 768²
+  rawsize sweep through render_all's default flags, end to end incl. PNG/mp4
+  saving (the reference scene-loop economics, test_all_CLAW_scenes.py:71-96)
 
 Extras degrade gracefully: each runs under a wall-clock budget
-(``BENCH_BUDGET_S``, default 900 s) and any failure/skip only drops that
+(``BENCH_BUDGET_S``, default 1500 s) and any failure/skip only drops that
 field — the headline JSON line is printed up front and re-emitted enriched
 after EVERY completed row, so the last parseable line is always a valid
 result carrying everything measured before any mid-run failure (the axon
@@ -135,7 +138,10 @@ def main():
     if os.environ.get("BENCH_PERSISTENT_CACHE", "1") != "0":
         enable_persistent_cache()
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    # 1500 s default (was 900 through round 4): the round-5 sweep row adds
+    # ~3-5 min of compiles+renders after the train rows; row-by-row emit
+    # still bounds the damage if the caller kills the process earlier
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     dev = _device_with_retry()
     rng = np.random.default_rng(0)
     opt = Options()  # flagship baseline2 config: ngf=64, 65ch, pconv decoder
@@ -455,6 +461,46 @@ def main():
                   file=sys.stderr)
     else:
         print(f"# SKIP train_step: time budget exhausted ({left:.0f}s left)",
+              file=sys.stderr)
+
+    # multi-scene sweep (reference test_all_CLAW_scenes.py:71-96): 4
+    # synthetic 768² CLAW-style scenes with varied moving bands through
+    # render_all's DEFAULT flags (eps sparsify + crop auto + P-bucket 1.25),
+    # end to end incl. PNG/mp4 saving — validates the bucket-quantized crop
+    # plans and the P-bucket jit cache at sweep scale (round-4 VERDICT #4).
+    left = budget_s - (time.perf_counter() - t_start)
+    if left >= 300:
+        try:
+            import shutil
+            import tempfile
+
+            from slrsfs_tpu.cli.render_all import main as render_all_main
+            from tools.make_scenes import make_scene_files
+
+            sweep_dir = tempfile.mkdtemp(prefix="bench_sweep_")
+            try:
+                make_scene_files(os.path.join(sweep_dir, "scenes"), n=4,
+                                 size=768, n_frames=N, verbose=False)
+                stats = render_all_main([
+                    os.path.join(sweep_dir, "scenes"),
+                    os.path.join(sweep_dir, "out"), "--rawsize"])
+                if stats["done"]:
+                    extras["sweep_scenes_per_hour"] = round(
+                        stats["done"] / stats["elapsed_s"] * 3600, 1)
+                    extras["sweep_compiled_programs"] = (
+                        stats["compiled_programs"])
+                    print(f"# sweep: {stats['done']} scenes 768² rawsize in "
+                          f"{stats['elapsed_s']:.1f}s "
+                          f"({extras['sweep_scenes_per_hour']} scenes/hour "
+                          f"e2e, {stats['compiled_programs']} compiled "
+                          f"programs)", file=sys.stderr)
+                    emit(extras)
+            finally:
+                shutil.rmtree(sweep_dir, ignore_errors=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"# FAIL sweep: {type(e).__name__}: {e}", file=sys.stderr)
+    else:
+        print(f"# SKIP sweep: time budget exhausted ({left:.0f}s left)",
               file=sys.stderr)
 
     emit(extras)

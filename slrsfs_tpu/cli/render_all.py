@@ -106,6 +106,8 @@ def main(argv=None):
               f"({done / elapsed * 3600:.0f} scenes/hour incl. compiles + "
               f"saves), {len(renderer._jit_cache)} compiled rollout "
               f"program(s)")
+    return {"done": done, "elapsed_s": elapsed,
+            "compiled_programs": len(renderer._jit_cache)}
 
 
 if __name__ == "__main__":
