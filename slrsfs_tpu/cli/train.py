@@ -61,7 +61,7 @@ def attach_moving_sets(batch, max_frac: float = 0.5, state=None,
     (models/baseline.py:train_integrate).
 
     Adds ``mov_pos`` (B, P, 2) int32 [x, y] / ``mov_valid`` (B, P) float32
-    with P a power-of-two bucket. Returns the batch unchanged when the
+    with P a geometric ×1.25 bucket. Returns the batch unchanged when the
     largest sample's moving fraction exceeds ``max_frac`` — there the
     dense phased scan is no slower and needs no scatter-back.
 
@@ -79,7 +79,8 @@ def attach_moving_sets(batch, max_frac: float = 0.5, state=None,
     bucket only ever grows. Without it, data hovering around ``max_frac``
     would alternate batch structures and recompile the full G+D train-step
     graph per combination (each compile is minutes on a cold cache); with
-    it the step retraces at most log2(H·W/1024) times."""
+    it the step retraces at most log(H·W/1024)/log(1.25) times (in
+    practice a run crosses 1-3 buckets)."""
     m = np.asarray(batch["motions"])
     flow = m[..., :2] * m[..., 2:3] if m.shape[-1] == 3 else m  # uv·m fold
     if eps > 0.0:
@@ -114,10 +115,17 @@ def attach_moving_sets(batch, max_frac: float = 0.5, state=None,
         # capacity (cost ≈ dense scan + scatter-back; no structure flip)
     elif need > max_frac * H * W:
         return batch
-    P = max(1024, state.get("P", 0) if state is not None else 0)
-    while P < need:
-        P *= 2
-    P = min(P, H * W)
+    # geometric ×1.25 bucket (shared with the inference moving-set prep):
+    # the integration scan is row-count-bound (~17 ns/row, GAPS.md), so a
+    # power-of-two series wastes up to 2× rows — at the 30 %-moving
+    # estimated-data shape (need 19661 at W=256) it pays P=32768 where the
+    # 1.25-series pays 20480, ~140 ms of the train step. Worst-case
+    # retraces per run stay bounded: the sticky P only ever grows through
+    # O(log(H·W/1024)/log(1.25)) buckets.
+    from slrsfs_tpu.engine.rollout import geometric_bucket
+
+    P = max(geometric_bucket(need, 1024, 1.25, H * W),
+            state.get("P", 0) if state is not None else 0)
     if state is not None:
         state["P"] = P
     pos = np.zeros((B, P, 2), np.int32)

@@ -141,6 +141,27 @@ from slrsfs_tpu.ops.splat import (
 )
 
 
+def geometric_bucket(n: int, pad_multiple: int, bucket_ratio: float,
+                     cap: int) -> int:
+    """Round ``n`` up onto the geometric series {pad_multiple·⌈ratio^k⌉}
+    (quantized to pad_multiple, capped at ``cap``): O(log(cap)/log(ratio))
+    distinct sizes, so shape-keyed jit caches see a bounded set of programs
+    while padding waste stays ≤ (ratio − 1). Shared by the inference
+    moving-set prep (below) and the training moving-set bucketing
+    (cli/train.py:attach_moving_sets)."""
+    target = max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
+    cap = max(pad_multiple, -(-cap // pad_multiple) * pad_multiple)
+    b = pad_multiple
+    while b < min(target, cap):
+        # max(..., b + pad_multiple) forces monotone progress: a ratio
+        # in (1.0, 1 + 1/pad_multiple) would otherwise round back to b
+        # and loop forever
+        b = min(cap, max(b + pad_multiple,
+                         -(-int(b * bucket_ratio) // pad_multiple)
+                         * pad_multiple))
+    return b
+
+
 def prepare_scene_sparse(flow_np, pad_multiple: int = 1024,
                          bucket_ratio: float = None):
     """Host-side: indices of moving pixels, padded to a static shape.
@@ -160,16 +181,7 @@ def prepare_scene_sparse(flow_np, pad_multiple: int = 1024,
     n = len(xs)
     P = max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
     if bucket_ratio is not None and bucket_ratio > 1.0:
-        cap = -(-moving.size // pad_multiple) * pad_multiple
-        b = pad_multiple
-        while b < P:
-            # max(..., b + pad_multiple) forces monotone progress: a ratio
-            # in (1.0, 1 + 1/pad_multiple) would otherwise round back to b
-            # and loop forever
-            b = min(cap, max(b + pad_multiple,
-                             -(-int(b * bucket_ratio) // pad_multiple)
-                             * pad_multiple))
-        P = b
+        P = geometric_bucket(n, pad_multiple, bucket_ratio, moving.size)
     positions = np.zeros((P, 2), np.int32)
     positions[:n, 0] = xs
     positions[:n, 1] = ys
