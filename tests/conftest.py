@@ -81,6 +81,35 @@ from slrsfs_tpu.utils.flow_viz import write_flo
 
 
 @pytest.fixture(scope="session")
+def real32_env():
+    """Settled REAL-arch (ngf=16) baseline at the canonical (1, 32, 32, 3)
+    shape, shared across modules: the full 8-block encoder/decoder graph
+    costs ~5 s per trace on this 1-core host and two modules
+    (test_models_parity, test_rollout_sparse) otherwise init+settle it
+    independently (VERDICT r4 #5). Assertions using it are self-consistent
+    (engine-path equality with the same variables), so ANY settled
+    variables serve."""
+    import jax
+    import jax.numpy as jnp
+
+    from slrsfs_tpu.config import Options
+    from slrsfs_tpu.engine.init_utils import jit_init, settle
+    from slrsfs_tpu.models.baseline import BaselineModel
+
+    rng = np.random.default_rng(5)
+    opt = Options(ngf=16, W=32)
+    model = BaselineModel(opt)
+    img = rng.standard_normal((1, 32, 32, 3)).astype(np.float32) * 0.25
+    variables = jit_init(
+        model,
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
+        img, False, True,
+    )
+    variables = settle(model, variables, (jnp.asarray(img),), n=2)
+    return dict(opt=opt, model=model, img=img, variables=variables)
+
+
+@pytest.fixture(scope="session")
 def fixture_root(tmp_path_factory):
     """Two tiny synthetic scenes in the reference on-disk layout."""
     cv2 = pytest.importorskip("cv2")

@@ -52,6 +52,21 @@ def _init(model, img):
     return settle(model, v, (img,), n=3)
 
 
+@pytest.fixture(scope="module")
+def updown_env():
+    """Shared settled UPDOWN baseline + canonical scene: three tests in
+    this module build the identical model at the (1, H, W, 3) shape, and
+    each init+settle pair is two traces (~4-5 s) on this 1-core host
+    (VERDICT r4 #5). Tests only need SOME settled variables — every
+    assertion is self-consistent (cropped-vs-full with the same v)."""
+    img, flow, pos, val = _scene()
+    opt = tiny_options(refine_model_type=UPDOWN)
+    model = BaselineModel(opt)
+    v = _init(model, img)
+    return dict(opt=opt, model=model, img=img, flow=flow, pos=pos,
+                val=val, v=v)
+
+
 def test_decoder_radius_bounds_empirical_rf():
     """decoder_receptive_radius must upper-bound the true receptive field:
     perturbing the decoder input OUTSIDE the radius of a probe pixel leaves
@@ -118,12 +133,13 @@ def test_plan_crop_window_invariants():
                            64, 96, radius, align, max_area_frac=1.01)
 
 
-def test_baseline_crop_exact():
+def test_baseline_crop_exact(updown_env):
     """Cropped == full for the baseline rollout, non-v2 and v2 Z-norm.
     Params are v2-independent, so one init serves both variants."""
-    img, flow, pos, val = _scene()
-    base = tiny_options(refine_model_type=UPDOWN)
-    v = _init(BaselineModel(base), img)
+    img, flow, pos, val = (updown_env["img"], updown_env["flow"],
+                           updown_env["pos"], updown_env["val"])
+    base = updown_env["opt"]
+    v = updown_env["v"]
     for v2 in (False, True):
         opt = base.replace(use_softmax_splatter_v2=v2)
         model = BaselineModel(opt)
@@ -188,21 +204,21 @@ def test_target_bounds_excludes_oob_trajectories():
     assert ylo == 15.0 and yhi == 16.0
 
 
-def test_all_static_scene_yields_no_crop():
+def test_all_static_scene_yields_no_crop(updown_env):
     """Zero-motion scene (or --sparsify-eps zeroing everything): plan_crop
     must return None, not a degenerate negative-size CropSpec (review
     finding: the area gate passed for the product of two negatives and the
     render CLI's default crop path crashed)."""
     flow_np = np.zeros((H, W, 2), np.float32)
     positions, valid = prepare_scene_sparse(flow_np, pad_multiple=64)
-    opt = tiny_options(refine_model_type=UPDOWN)
+    opt = updown_env["opt"]
     disp, crop = prepare_crop(opt, False, jnp.asarray(flow_np),
                               jnp.asarray(positions), jnp.asarray(valid), N)
     assert crop is None
     # and the renderer's fallback (crop=None) still rolls out fine
-    model = BaselineModel(opt)
+    model = updown_env["model"]
     img = jnp.zeros((1, H, W, 3), jnp.float32)
-    v = _init(model, img)
+    v = updown_env["v"]
     frames = jax.jit(lambda v_: baseline_rollout_sparse(
         model, v_, img, jnp.asarray(flow_np), N, jnp.asarray(positions),
         jnp.asarray(valid), decode_batch=3, crop=crop, disp=disp))(v)
@@ -313,15 +329,15 @@ def test_static_decode_input_matches_frame_math_at_eps_floor(v2):
     assert diff.max() > 0.5, "test scene failed to engage the eps floor"
 
 
-def test_crop_stage_profiler_runs():
+def test_crop_stage_profiler_runs(updown_env):
     """profile_baseline_crop_stages returns the reference-named stages and
     an honest total (prepare + rollout) on a crop-engaging scene."""
     from slrsfs_tpu.engine.stage_profile import profile_baseline_crop_stages
 
-    img, flow, pos, val = _scene()
-    opt = tiny_options(refine_model_type=UPDOWN)
-    model = BaselineModel(opt)
-    v = _init(model, img)
+    img, flow, pos, val = (updown_env["img"], updown_env["flow"],
+                           updown_env["pos"], updown_env["val"])
+    model = updown_env["model"]
+    v = updown_env["v"]
     st = profile_baseline_crop_stages(model, v, img, flow, pos, val, N,
                                       decode_batch=3, runs=1,
                                       max_area_frac=1.01)

@@ -128,23 +128,13 @@ def test_decoder_pconv2_parity():
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
 
 
-def test_rollout_smoke_and_frame0():
+def test_rollout_smoke_and_frame0(real32_env):
     from slrsfs_tpu.engine.rollout import baseline_rollout
 
     rng = np.random.default_rng(5)
-    opt = Options(ngf=16, W=32)
-    model = BaselineModel(opt)
-    img = rng.standard_normal((1, 32, 32, 3)).astype(np.float32) * 0.25
-    from slrsfs_tpu.engine.init_utils import jit_init
-
-    variables = jit_init(
-        model,
-        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-        img, False, True,
-    )
-    from slrsfs_tpu.engine.init_utils import settle
-
-    variables = settle(model, variables, (jnp.asarray(img),), n=2)
+    model = real32_env["model"]
+    img = real32_env["img"]
+    variables = real32_env["variables"]
     flow = (rng.standard_normal((32, 32, 2)) * 0.8).astype(np.float32)
     N = 5
     frames = jax.jit(lambda v, i, f: baseline_rollout(

@@ -30,7 +30,30 @@ def _run_sparse(model, N, db, sd=None):
         model, v, i, f, N, p, va, decode_batch=db, splat_dtype=sd))
 
 
-def test_sparse_equals_dense_and_bf16_splat_close():
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny32_env():
+    """Shared settled TinyTest baseline + canonical 32² scene (tracing
+    dominates this 1-core suite — VERDICT r4 #5). Params are independent
+    of the v2 flag, so the v2 test reuses these variables too."""
+    rng = np.random.default_rng(11)
+    H = W = 32
+    opt = tiny_options(W=W)
+    model = BaselineModel(opt)
+    img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
+    variables = _jit_init(model, img)
+    variables = settle(model, variables, (jnp.asarray(img),), n=2)
+    flow = (rng.standard_normal((H, W, 2)) * 1.2).astype(np.float32)
+    flow[: H // 2] = 0.0  # top half static
+    flow[:, : W // 4] = 0.0
+    positions, valid = prepare_scene_sparse(flow, pad_multiple=64)
+    return dict(opt=opt, model=model, img=img, variables=variables,
+                flow=flow, positions=positions, valid=valid)
+
+
+def test_sparse_equals_dense_and_bf16_splat_close(tiny32_env, real32_env):
     """(a) The sparse rollout equals the dense rollout exactly on a scene
     with exact-zero static regions — engine-path equality only (parity vs
     torch lives in test_models_parity/test_forward_flow_parity), so
@@ -41,22 +64,14 @@ def test_sparse_equals_dense_and_bf16_splat_close():
     arch-dependent (TinyTest's 2-block decoder amplifies the splat noise
     ~4x), so (b) runs the real 8-block ngf=16 arch — but only the two
     sparse rollouts, never the expensive dense one."""
-    rng = np.random.default_rng(11)
-    H = W = 32
     N = 6
-    opt = tiny_options(W=W)
-    model = BaselineModel(opt)
-    img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
-    variables = _jit_init(model, img)
-    variables = settle(model, variables, (jnp.asarray(img),), n=2)
-
-    flow = (rng.standard_normal((H, W, 2)) * 1.2).astype(np.float32)
-    flow[: H // 2] = 0.0  # top half static
-    flow[:, : W // 4] = 0.0
+    model = tiny32_env["model"]
+    img, flow = tiny32_env["img"], tiny32_env["flow"]
+    variables = tiny32_env["variables"]
+    positions, valid = tiny32_env["positions"], tiny32_env["valid"]
 
     dense = _run_dense(model, N)(variables, jnp.asarray(img),
                                  jnp.asarray(flow))
-    positions, valid = prepare_scene_sparse(flow, pad_multiple=64)
     args = (variables, jnp.asarray(img), jnp.asarray(flow),
             jnp.asarray(positions), jnp.asarray(valid))
     sparse = _run_sparse(model, N, 3)(*args)
@@ -64,15 +79,10 @@ def test_sparse_equals_dense_and_bf16_splat_close():
         np.asarray(sparse), np.asarray(dense), rtol=1e-5, atol=1e-5
     )
 
-    # (b) real arch, sparse f32 vs sparse bf16-splat
-    from slrsfs_tpu.config import Options
-
+    # (b) real arch (session fixture), sparse f32 vs sparse bf16-splat
     N = 4
-    opt = Options(ngf=16, W=W)
-    model = BaselineModel(opt)
-    variables = _jit_init(model, img)
-    variables = settle(model, variables, (jnp.asarray(img),), n=2)
-    args = (variables,) + args[1:]
+    model = real32_env["model"]
+    args = (real32_env["variables"],) + args[1:]
     sparse = _run_sparse(model, N, 2)(*args)
     fast = _run_sparse(model, N, 2, sd=jnp.bfloat16)(*args)
     assert np.abs(np.asarray(sparse) - np.asarray(fast)).max() < 2e-2
@@ -153,25 +163,20 @@ def test_maximum_warp_norm_sparse_matches_dense_op():
     np.testing.assert_allclose(got_m, want_m, rtol=1e-6, atol=1e-6)
 
 
-def test_sparse_equals_dense_v2():
+def test_sparse_equals_dense_v2(tiny32_env):
     """The v2 per-frame max-warp-norm rollout runs sparsely and must equal
-    the dense rollout exactly (previously a dense fallback)."""
-    rng = np.random.default_rng(13)
-    H = W = 32
+    the dense rollout exactly (previously a dense fallback). Params are
+    v2-independent, so the module fixture's variables serve."""
     N = 4
-    opt = tiny_options(W=W, use_softmax_splatter_v2=True,
-                       use_softmax_splatter=False)
+    opt = tiny32_env["opt"].replace(use_softmax_splatter_v2=True,
+                                    use_softmax_splatter=False)
     model = BaselineModel(opt)
-    img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
-    variables = _jit_init(model, img)
-    variables = settle(model, variables, (jnp.asarray(img),), n=2)
-
-    flow = (rng.standard_normal((H, W, 2)) * 1.2).astype(np.float32)
-    flow[: H // 2] = 0.0
+    img, flow = tiny32_env["img"], tiny32_env["flow"]
+    variables = tiny32_env["variables"]
+    positions, valid = tiny32_env["positions"], tiny32_env["valid"]
 
     dense = _run_dense(model, N)(variables, jnp.asarray(img),
                                  jnp.asarray(flow))
-    positions, valid = prepare_scene_sparse(flow, pad_multiple=64)
     sparse = _run_sparse(model, N, 2)(
         variables, jnp.asarray(img), jnp.asarray(flow),
         jnp.asarray(positions), jnp.asarray(valid))

@@ -1,6 +1,8 @@
 """SLR two-layer model: rollout invariants and a training step smoke."""
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -37,22 +39,33 @@ def _jit_sparse(model, N, db=2):
         model, v, i, f, N, p, va, decode_batch=db))
 
 
-def test_slr_rollout_shapes_and_composite():
+@pytest.fixture(scope="module")
+def slr_env():
+    """Shared settled SLR model + canonical 32² scene + its N=4 sparse
+    rollout: each init/settle/rollout is a separate trace of the two-layer
+    graph (~2-4 s apiece on this 1-core host), and three tests in this
+    module would otherwise re-trace identical programs (VERDICT r4 #5)."""
     rng = np.random.default_rng(21)
     H = W = 32
-    N = 4
     opt = _opt()
     model = SLRModel(opt)
     img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
     variables = _init_slr(model, img)
-
     flow = (rng.standard_normal((H, W, 2)) * 1.0).astype(np.float32)
     flow[: H // 2] = 0.0
     pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
-    out = _jit_sparse(model, N)(
+    out = _jit_sparse(model, 4)(
         variables, jnp.asarray(img), jnp.asarray(flow),
         jnp.asarray(pos), jnp.asarray(valid),
     )
+    return dict(opt=opt, model=model, img=img, variables=variables,
+                flow=flow, pos=pos, valid=valid, out=out)
+
+
+def test_slr_rollout_shapes_and_composite(slr_env):
+    H = W = 32
+    N = 4
+    out = slr_env["out"]
     assert out["PredImg"].shape == (N, H, W, 3)
     assert out["FluidImg"].shape == (N, H, W, 3)
     assert out["CompositeFluidAlpha"].shape == (N, H, W, 1)
@@ -111,23 +124,17 @@ def test_slr_train_step():
     assert not np.allclose(np.asarray(g0), np.asarray(g1))
 
 
-def test_slr_dense_matches_sparse_and_v2_runs():
-    rng = np.random.default_rng(31)
+def test_slr_dense_matches_sparse_and_v2_runs(slr_env):
     H = W = 32
     N = 4
-    opt = _opt()
-    model = SLRModel(opt)
-    img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
-    variables = _init_slr(model, img)
-    flow = (rng.standard_normal((H, W, 2)) * 1.0).astype(np.float32)
-    flow[: H // 2] = 0.0
-    pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
+    model = slr_env["model"]
+    img, flow = slr_env["img"], slr_env["flow"]
+    pos, valid = slr_env["pos"], slr_env["valid"]
+    variables = slr_env["variables"]
 
     from slrsfs_tpu.engine.rollout import slr_rollout_dense
 
-    sparse = _jit_sparse(model, N)(
-        variables, jnp.asarray(img), jnp.asarray(flow),
-        jnp.asarray(pos), jnp.asarray(valid))
+    sparse = slr_env["out"]
     dense = jax.jit(lambda v, i, f: slr_rollout_dense(model, v, i, f, N))(
         variables, jnp.asarray(img), jnp.asarray(flow))
     np.testing.assert_allclose(np.asarray(sparse["PredImg"]),
