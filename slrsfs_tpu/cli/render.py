@@ -50,6 +50,28 @@ def edit_flow(flow: np.ndarray, rotate_deg: float = 0.0,
     return flow * scale
 
 
+# HBM budget for one batched-decode chunk, in decoded pixels x frames.
+# The decoder's live activations scale ~linearly with decode_batch x window
+# area, so the auto chooser caps their product. Measured v5e-16G anchors
+# (bench.py 768^2 rows): 768^2 nocrop db=15 = 8.85M OK; ~50%-moving crop
+# window db=30 ~= 9.5M OK; same crop db=60 ~= 19M compiles to 26.65G and
+# OOMs (round-5 sweep repro). SLR decodes two heads (fluid + alpha) off the
+# shared splat stack, so it gets half the budget (its measured anchor:
+# slr_fps 256^2 db=60 = 3.9M OK).
+DECODE_PX_BUDGET = 9_000_000
+
+
+def auto_decode_batch(n_frames: int, area: int, slr: bool = False,
+                      cap: int = 60) -> int:
+    """Largest divisor of ``n_frames`` (<= cap) whose decode chunk fits the
+    measured HBM budget for a decode window of ``area`` pixels."""
+    budget = DECODE_PX_BUDGET // (2 if slr else 1)
+    db = max(1, min(cap, n_frames, budget // max(1, area)))
+    while n_frames % db:
+        db -= 1
+    return db
+
+
 class SceneRenderer:
     """Checkpoint + jit state shared across scenes.
 
@@ -64,7 +86,7 @@ class SceneRenderer:
     join."""
 
     def __init__(self, ckpt: str = None, W: int = 256, n_frames: int = 60,
-                 dtype: str = "float32", decode_batch: int = 60,
+                 dtype: str = "float32", decode_batch: int = None,
                  seed: int = 0, motion_ckpt: str = None,
                  opt_overrides: dict = None, shard_frames: bool = False,
                  sparsify_eps: float = None, crop_decode: str = "auto",
@@ -92,10 +114,19 @@ class SceneRenderer:
         self.compute_dtype = (jnp.bfloat16 if dtype.startswith("bfloat16")
                               else jnp.float32)
         self.splat_dtype = jnp.bfloat16 if dtype == "bfloat16-fast" else None
-        db = decode_batch
-        while n_frames % db:
-            db -= 1
-        self.decode_batch = db
+        # decode_batch None = auto: chosen per scene from the actual decode
+        # window area (crop or full frame) against DECODE_PX_BUDGET, so a
+        # 768² rawsize sweep doesn't compile 60-frame decode chunks that
+        # exceed HBM (26.65G at 768² — round-5 sweep OOM) while 256² renders
+        # keep the full 60-frame batch. An explicit int pins it.
+        if decode_batch is None:
+            self.decode_batch = None
+        else:
+            db = decode_batch
+            while n_frames % db:
+                db -= 1
+            self.decode_batch = db
+        self._db_logged = set()
         # Sparsifier: zero sub-threshold motion so estimated (dense) GT
         # flows ride the sparse fast path. A zeroed pixel with speed s
         # drifts <= N*s px over the rollout, so eps = 0.5/N bounds the
@@ -160,16 +191,32 @@ class SceneRenderer:
             self.variables = settle(self.model, v, (small,), n=6)
         return self.variables
 
-    def _rollout(self, P: int, has_region: bool, crop=None, with_disp=False):
+    def _decode_batch_for(self, area: int) -> int:
+        """Per-scene decode batch: the explicit setting, or the auto chooser
+        over the actual decode-window area (see DECODE_PX_BUDGET)."""
+        if self.decode_batch is not None:
+            return self.decode_batch
+        db = auto_decode_batch(self.n_frames, area, slr=self.slr)
+        if db not in self._db_logged:
+            self._db_logged.add(db)
+            if db < min(60, self.n_frames):
+                print(f"decode_batch auto: {db} frames/chunk "
+                      f"({area}px decode window)")
+        return db
+
+    def _rollout(self, P: int, has_region: bool, crop=None, with_disp=False,
+                 db: int = None):
         """Jitted rollout for one sparse-set size bucket (and crop SIZES).
 
         Only the crop window sizes key the cache — offsets are passed as a
         traced (4,) vector at call time, so a sweep's scenes share one
         compiled program per bucketed window size no matter where the
         moving region sits."""
+        if db is None:
+            db = self._decode_batch_for(self.W * self.W)
         key = (P, has_region,
                None if crop is None else (crop.hc, crop.wc, crop.ph,
-                                          crop.pw), with_disp)
+                                          crop.pw), with_disp, db)
         if key not in self._jit_cache:
             from slrsfs_tpu.engine.rollout import (
                 baseline_rollout_frame_sharded,
@@ -217,7 +264,7 @@ class SceneRenderer:
                              offs=None: to_u8(
                     slr_rollout_sparse(
                         self.model, v, i, f, self.n_frames, p, va,
-                        decode_batch=self.decode_batch,
+                        decode_batch=db,
                         compute_dtype=self.compute_dtype,
                         splat_dtype=self.splat_dtype,
                         alpha_region=rg if has_region else None,
@@ -227,7 +274,7 @@ class SceneRenderer:
                              offs=None: to_u8({
                     "PredImg": baseline_rollout_sparse(
                         self.model, v, i, f, self.n_frames, p, va,
-                        decode_batch=self.decode_batch,
+                        decode_batch=db,
                         compute_dtype=self.compute_dtype,
                         splat_dtype=self.splat_dtype,
                         crop=crop, disp=disp, crop_offsets=offs)}))
@@ -313,10 +360,11 @@ class SceneRenderer:
                 profile_baseline_stages,
             )
 
+            db_full = self._decode_batch_for(W * W)
             st = profile_baseline_stages(
                 self.model, variables, img, jnp.asarray(flow),
                 jnp.asarray(positions), jnp.asarray(valid), n_frames,
-                decode_batch=self.decode_batch,
+                decode_batch=db_full,
                 compute_dtype=self.compute_dtype,
                 splat_dtype=self.splat_dtype)
             print(f"[profile {name}] {format_stages(st)}")
@@ -324,7 +372,7 @@ class SceneRenderer:
                 stc = profile_baseline_crop_stages(
                     self.model, variables, img, jnp.asarray(flow),
                     jnp.asarray(positions), jnp.asarray(valid), n_frames,
-                    decode_batch=self.decode_batch,
+                    decode_batch=db_full,
                     compute_dtype=self.compute_dtype,
                     splat_dtype=self.splat_dtype)
                 if stc is None:
@@ -345,7 +393,10 @@ class SceneRenderer:
                                       val_d, n_frames)
         run = self._rollout(positions.shape[0],
                             has_region=alpha_region_path is not None,
-                            crop=crop, with_disp=disp is not None)
+                            crop=crop, with_disp=disp is not None,
+                            db=self._decode_batch_for(
+                                crop.hc * crop.wc if crop is not None
+                                else W * W))
         if disp is not None and crop is not None:
             offs = jnp.asarray([crop.y0, crop.x0, crop.py0, crop.px0],
                                jnp.int32)
@@ -376,7 +427,7 @@ def render_scene(image_path: str, flow_path: str, save_dir: str,
                  n_frames: int = 60, speed: float = 1.0,
                  align_json: str = "None", rawsize: bool = False,
                  rotate: float = 0.0, flow_scale: float = 1.0,
-                 dtype: str = "float32", decode_batch: int = 60,
+                 dtype: str = "float32", decode_batch: int = None,
                  alpha_region_path: str = None, seed: int = 0,
                  motion_ckpt: str = None, opt_overrides: dict = None,
                  shard_frames: bool = False, sparsify_eps: float = 0.0,
@@ -488,9 +539,13 @@ def main(argv=None):
                    help="print reference-style per-stage timings (t_encoder/"
                         "t_euler_integration/t_softmax_splating/t_decoder) "
                         "for this scene's shape; costs extra compiles")
+    p.add_argument("--decode-batch", type=int, default=None,
+                   help="frames per decode chunk; default auto-sizes to the "
+                        "decode window so large-W renders stay inside HBM")
     a = p.parse_args(argv)
     r = SceneRenderer(ckpt=a.ckpt, W=a.W, n_frames=a.n_frames, dtype=a.dtype,
                       motion_ckpt=a.motion_ckpt,
+                      decode_batch=a.decode_batch,
                       shard_frames=a.shard_frames,
                       sparsify_eps=a.sparsify_eps,
                       crop_decode=a.crop_decode)

@@ -104,3 +104,27 @@ def test_render_shard_frames_matches_single(tmp_path):
         b = np.asarray(Image.open(os.path.join(o8, "PredImg", f"{t:06d}.png")),
                        np.int16)
         assert np.abs(a - b).max() <= 1, t
+
+
+def test_auto_decode_batch_chooser():
+    """Auto decode-batch: largest divisor of n_frames whose chunk fits the
+    measured HBM budget (bench.py 768^2 anchors; round-5 sweep OOM repro)."""
+    from slrsfs_tpu.cli.render import DECODE_PX_BUDGET, auto_decode_batch
+
+    # 256^2 full frame: whole 60-frame batch fits (bench baseline row)
+    assert auto_decode_batch(60, 256 * 256) == 60
+    # 768^2 full frame: the v5e-measured safe chunk is 15 frames, not 60
+    assert auto_decode_batch(60, 768 * 768) == 15
+    # ~50%-moving 768^2 crop window: 30 frames (bench crop row anchor)
+    assert auto_decode_batch(60, 768 * 768 // 2) == 30
+    # SLR decodes two heads off the shared stack -> half budget
+    assert auto_decode_batch(60, 768 * 768, slr=True) <= \
+        auto_decode_batch(60, 768 * 768)
+    # always a divisor of n_frames, never zero
+    for n in (1, 7, 59, 60):
+        for area in (1, 10_000, 10**7, 10**9):
+            db = auto_decode_batch(n, area)
+            assert 1 <= db <= n and n % db == 0
+            assert db == 1 or db * area <= DECODE_PX_BUDGET or db == 1
+    # pathological area still yields 1 (never div-by-zero / 0 chunk)
+    assert auto_decode_batch(60, 10**9) == 1
