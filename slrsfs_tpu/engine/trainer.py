@@ -132,7 +132,9 @@ class Trainer:
             return g_vars, d_vars
 
         g_vars, d_vars = _init(r1, r2, r3, example_batch)
-        if self.vgg_vars is None:
+        if self.vgg_vars is None and self.task != "motion":
+            # the motion task's recon loss is MotionLoss (EPE/L1 on flow),
+            # never the VGG perceptual — skip the VGG init trace entirely
             self.init_vgg(r4)
         return TrainState(
             step=jnp.zeros((), jnp.int32),

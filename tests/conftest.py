@@ -33,6 +33,26 @@ def pytest_configure(config):
     assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
+# The suite is TRACE-bound, and CPython's generational GC re-traverses every
+# live object on each gen-2 collection — by late in the run the accumulated
+# jit caches (jaxprs, lowered programs) are millions of nodes, inflating
+# per-test trace time ~30-40% (measured: test_slr_train_step 22 s module-
+# alone vs 31 s in-suite). Freezing after each module moves the surviving
+# caches into the permanent generation the collector never scans; cyclic
+# garbage created within a module is still reclaimed by the collect() just
+# before the freeze. RSS cost is bounded by what the caches hold anyway.
+import pytest as _pytest  # noqa: E402
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _gc_freeze_caches():
+    yield
+    import gc
+
+    gc.collect()
+    gc.freeze()
+
+
 def tiny_options(**kw):
     """Minimal-compile Options for trainer/engine MECHANICS tests (2-block
     TinyTest archs, small D). Parity tests must keep the real reference
@@ -107,6 +127,22 @@ def real32_env():
     )
     variables = settle(model, variables, (jnp.asarray(img),), n=2)
     return dict(opt=opt, model=model, img=img, variables=variables)
+
+
+@pytest.fixture(scope="session")
+def vgg_vars32():
+    """One jitted VGG19Features init shared by every trainer mechanics test
+    (via ``trainer.load_vgg``): VGG params are input-size-independent and
+    each per-test ``init_vgg`` re-trace costs ~1 s on this host. Loss-value
+    assertions are all self-consistent (same trainer both sides), so ANY
+    fixed weights serve."""
+    import jax
+
+    from slrsfs_tpu.nn.vgg import VGG19Features
+
+    vgg = VGG19Features()
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    return jax.jit(lambda r: vgg.init(r, img))(jax.random.PRNGKey(4))
 
 
 @pytest.fixture(scope="session")

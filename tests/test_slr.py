@@ -84,13 +84,14 @@ def test_slr_rollout_shapes_and_composite(slr_env):
     assert (pred >= lo).all() and (pred <= hi).all()
 
 
-def test_slr_train_step():
+def test_slr_train_step(vgg_vars32):
     rng = np.random.default_rng(22)
     B, H, W = 2, 32, 32
     opt = _opt(batch_size=B)
     model = SLRTrainable(opt, train_max_steps=4)
     trainer = Trainer(opt, model, steps_per_epoch=10,
                       extra_losses_fn=slr_extra_losses)
+    trainer.load_vgg(vgg_vars32)
     idx = np.zeros((B, 3), np.int32)
     idx[:, 1] = rng.integers(1, 4, size=B)
     idx[:, 2] = 4
@@ -340,6 +341,12 @@ def test_alpha_decoder_input_variants():
         k = variables["params"]["net_alpha_decoder"]
         assert any(a.shape[-2] == in_ch for a in jax.tree.leaves(k)
                    if getattr(a, "ndim", 0) == 4), variant
+        if variant != "image":
+            # channel-plumbing claim only for 'decouple'; executing its
+            # rollout re-traces a whole program for coverage the 'image'
+            # run (the wider input assembly) + the default-variant rollout
+            # tests already pin (suite wall-clock)
+            continue
         flow = (rng.standard_normal((H, W, 2))).astype(np.float32)
         flow[: H // 2] = 0.0
         pos, valid = prepare_scene_sparse(flow, pad_multiple=64)

@@ -10,12 +10,13 @@ from slrsfs_tpu.models.motion import MotionRegressor
 from slrsfs_tpu.models.slr import BackgroundModel
 
 
-def test_bg_stage_train_step():
+def test_bg_stage_train_step(vgg_vars32):
     rng = np.random.default_rng(0)
     B, H, W = 2, 32, 32
     opt = tiny_options(W=W, batch_size=B, model_type="bg", MVloss=1.0)
     model = BackgroundModel(opt)
     trainer = Trainer(opt, model, steps_per_epoch=10, task="bg")
+    trainer.load_vgg(vgg_vars32)
     batch = {
         "images": [jnp.asarray(rng.standard_normal((B, H, W, 3)) * 0.25,
                                jnp.float32) for _ in range(2)],
@@ -79,7 +80,7 @@ def test_motion_gan_train_step():
     assert not np.allclose(np.asarray(g0), np.asarray(g1))
 
 
-def test_fixmotion_finetune_step():
+def test_fixmotion_finetune_step(vgg_vars32):
     """Embedded motion regressor with frozen params: fluid nets train, the
     regressor stays bit-identical (reference train_animating_fixmotion.py)."""
     from slrsfs_tpu.models.baseline import (
@@ -98,6 +99,7 @@ def test_fixmotion_finetune_step():
     model = BaselineMotionTrainable(opt, train_max_steps=2)
     trainer = Trainer(opt, model, steps_per_epoch=10,
                       extra_losses_fn=baseline_motion_extra_losses)
+    trainer.load_vgg(vgg_vars32)
     idx = np.zeros((B, 3), np.int32)
     idx[:, 1] = 1
     idx[:, 2] = 2

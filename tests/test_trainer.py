@@ -28,13 +28,14 @@ def _tiny_batch(rng, B=2, H=32, W=32):
 
 
 @pytest.fixture(scope="module")
-def base_trainer():
+def base_trainer(vgg_vars32):
     """Shared trainer/state/jitted-steps for the mechanics tests: tracing a
     G+D train-step graph costs ~10 s on this 1-core host, so every test
     re-building an identical trainer pays it again (VERDICT r2 #9)."""
     opt = tiny_options(W=32, batch_size=2)
     model = BaselineTrainable(opt, train_max_steps=4)
     trainer = Trainer(opt, model, steps_per_epoch=10)
+    trainer.load_vgg(vgg_vars32)
     batch = _tiny_batch(np.random.default_rng(0))
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
     return {
@@ -72,12 +73,13 @@ def test_train_step_updates_and_finite(base_trainer):
     assert int(state2.step) == 2
 
 
-def test_8device_vs_1device_train_step_equivalence():
+def test_8device_vs_1device_train_step_equivalence(base_trainer):
     """One sharded train step over the 8-device mesh equals the single-device
     step on the same batch: params, BN batch_stats, and losses. This is the
     quantitative SyncBN-via-sharding claim (replacing reference
     models/networks/sync_batchnorm/batchnorm.py:67-124): BN moments are plain
     jnp.mean over the globally-sharded batch, so XLA all-reduces them."""
+    from slrsfs_tpu.engine.trainer import TrainState
     from slrsfs_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
     import optax
@@ -94,8 +96,18 @@ def test_8device_vs_1device_train_step_equivalence():
     # params − lr·g, directly proportional to the (SyncBN-sensitive) grads.
     trainer.tx_g = optax.sgd(1e-3)
     trainer.tx_d = optax.sgd(1e-3)
+    trainer.load_vgg(base_trainer["trainer"].vgg_vars)
     batch = _tiny_batch(rng, B=B)
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    # reuse the module fixture's initialized params/stats (batch-size-
+    # independent) — re-running init_state here re-traces the same ~10 s
+    # init graph; only the trivial SGD optimizer state is built fresh
+    s0 = base_trainer["state"]
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=s0.g_params, g_stats=s0.g_stats, g_spectral=s0.g_spectral,
+        d_params=s0.d_params, d_spectral=s0.d_spectral,
+        opt_g=trainer.tx_g.init(s0.g_params),
+        opt_d=trainer.tx_d.init(s0.d_params))
     step = jax.jit(trainer.make_train_step())
     key = jax.random.PRNGKey(1)
     want_state, want_logs = step(state, batch, key)
@@ -159,7 +171,7 @@ def test_frame_sharded_rollout_matches_sparse():
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         img, False, True,
     )
-    variables = settle(model, variables, (img,), n=8)
+    variables = settle(model, variables, (img,), n=2)
     flow = rng.standard_normal((H, W, 2)).astype(np.float32)
     flow[: H // 2] = 0.0
     pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
@@ -179,22 +191,18 @@ def test_frame_sharded_rollout_matches_sparse():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_slr_frame_sharded_rollout_matches_sparse():
-    """Frame-sharded SLR inference over the 8-device CPU mesh must equal the
-    single-device sparse SLR rollout (the flagship two-layer model's
-    multi-chip path)."""
+@pytest.fixture(scope="module")
+def slr32_env():
+    """One settled tiny SLR model + canonical 32² scene shared by the
+    frame-sharded SLR tests (each independent init+settle costs ~7 s on
+    this host; the v2 flag changes only the rollout math, not the param
+    structure — same pattern as test_crop_rollout.test_slr_crop_exact)."""
     from slrsfs_tpu.engine.init_utils import jit_init, settle
-    from slrsfs_tpu.engine.rollout import (
-        prepare_scene_sparse,
-        slr_rollout_frame_sharded,
-        slr_rollout_sparse,
-    )
+    from slrsfs_tpu.engine.rollout import prepare_scene_sparse
     from slrsfs_tpu.models.slr import SLRModel
-    from slrsfs_tpu.parallel.mesh import make_mesh, replicate
 
     rng = np.random.default_rng(9)
     H = W = 32
-    N = 8
     opt = tiny_options(W=W,
                        model_type="softmax_splating_2layers_alpha_seperate",
                        use_alpha0_as_blending_weight=True)
@@ -205,27 +213,44 @@ def test_slr_frame_sharded_rollout_matches_sparse():
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         img, False, True,
     )
-    variables = settle(model, variables, (img,), n=8)
+    variables = settle(model, variables, (img,), n=2)
     flow = rng.standard_normal((H, W, 2)).astype(np.float32)
     flow[: H // 2] = 0.0
     pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
+    return dict(opt=opt, model=model, img=img, variables=variables,
+                flow=jnp.asarray(flow), pos=jnp.asarray(pos),
+                valid=jnp.asarray(valid))
+
+
+def test_slr_frame_sharded_rollout_matches_sparse(slr32_env):
+    """Frame-sharded SLR inference over the 8-device CPU mesh must equal the
+    single-device sparse SLR rollout (the flagship two-layer model's
+    multi-chip path)."""
+    from slrsfs_tpu.engine.rollout import (
+        slr_rollout_frame_sharded,
+        slr_rollout_sparse,
+    )
+    from slrsfs_tpu.parallel.mesh import make_mesh, replicate
+
+    e = slr32_env
+    model, variables, img = e["model"], e["variables"], e["img"]
+    flow, pos, valid = e["flow"], e["pos"], e["valid"]
+    N = 8
 
     want = slr_rollout_sparse(
-        model, variables, img, jnp.asarray(flow), N,
-        jnp.asarray(pos), jnp.asarray(valid), decode_batch=4)
+        model, variables, img, flow, N, pos, valid, decode_batch=4)
 
     mesh = make_mesh(8)
     run = jax.jit(lambda v, i, f, p, va: slr_rollout_frame_sharded(
         model, v, i, f, N, p, va, mesh))
-    got = run(replicate(variables, mesh), img, jnp.asarray(flow),
-              jnp.asarray(pos), jnp.asarray(valid))
+    got = run(replicate(variables, mesh), img, flow, pos, valid)
     assert len(got["PredImg"].sharding.device_set) == 8
     for k in ("PredImg", "FluidImg", "CompositeFluidAlpha"):
         np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
                                    rtol=2e-5, atol=2e-5, err_msg=k)
 
 
-def test_frame_sharded_v2_and_bf16_match_sparse():
+def test_frame_sharded_v2_and_bf16_match_sparse(slr32_env):
     """Round-3 capability (VERDICT missing #3): v2 checkpoints
     (use_softmax_splatter_v2 per-frame max-warp-norm) and the bf16 speed
     modes run frame-sharded; 8-device results must match the single-device
@@ -237,37 +262,24 @@ def test_frame_sharded_v2_and_bf16_match_sparse():
     exactness tests already pin — v2-sharded f32 exactness follows from
     sharding exactness (non-v2 pairs above, 2e-5) + sparse v2 exactness
     (tests/test_rollout_sparse.py))."""
-    from slrsfs_tpu.engine.init_utils import jit_init, settle
     from slrsfs_tpu.engine.rollout import (
-        prepare_scene_sparse,
         slr_rollout_frame_sharded,
         slr_rollout_sparse,
     )
     from slrsfs_tpu.models.slr import SLRModel
     from slrsfs_tpu.parallel.mesh import make_mesh, replicate
 
-    rng = np.random.default_rng(11)
-    H = W = 32
+    e = slr32_env
     N = 8
-    img = jnp.asarray(rng.standard_normal((1, H, W, 3)) * 0.25, jnp.float32)
-    flow = rng.standard_normal((H, W, 2)).astype(np.float32)
-    flow[: H // 2] = 0.0
-    pos, valid = prepare_scene_sparse(flow, pad_multiple=64)
-    pos, valid = jnp.asarray(pos), jnp.asarray(valid)
-    flow = jnp.asarray(flow)
+    img, flow, pos, valid = e["img"], e["flow"], e["pos"], e["valid"]
     mesh = make_mesh(8)
 
     # --- v2 SLR + bf16 compute + bf16 splat accumulation -------------------
-    opt2 = tiny_options(W=W,
-                        model_type="softmax_splating_2layers_alpha_seperate",
-                        use_alpha0_as_blending_weight=True,
-                        use_softmax_splatter_v2=True)
+    # same settled variables as the non-v2 test: the v2 flag changes only
+    # the rollout normalization, not the parameter structure
+    opt2 = e["opt"].replace(use_softmax_splatter_v2=True)
     slr = SLRModel(opt2)
-    v2vars = jit_init(
-        slr,
-        {"params": jax.random.PRNGKey(2), "noise": jax.random.PRNGKey(3)},
-        img, False, True)
-    v2vars = settle(slr, v2vars, (img,), n=2)
+    v2vars = e["variables"]
     want2 = jax.jit(lambda v, i, f: slr_rollout_sparse(
         slr, v, i, f, N, pos, valid, decode_batch=4,
         compute_dtype=jnp.bfloat16, splat_dtype=jnp.bfloat16))(
