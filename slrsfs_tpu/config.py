@@ -33,6 +33,10 @@ class Options:
     # exists so mechanics tests can shrink the 8-down/8-up graphs, whose
     # min input (256²) makes them the suite's most expensive executions.
     motion_num_filters: int = 32
+    # UNet depth (downsample count). Reference hardcodes 8; smaller depths
+    # are the same mechanics-test knob as motion_num_filters — they cut the
+    # minimum motion input from 256² to 2^downs squared.
+    motion_unet_downs: int = 8
 
     ngf: int = 64
     out_channel: int = 65  # encoder output channels incl. the +1 Z channel

@@ -94,12 +94,27 @@ def _up_split(x: Array) -> Array:
     )
 
 
+def _enc_mults(downs: int) -> Tuple[int, ...]:
+    """Channel-multiplier ladder nf·[1, 2, 4, 8, 8, …] of an n-down UNet
+    (reference hardcodes downs=8, architectures.py:382-493/602-743; smaller
+    depths are a consumed mechanics-test knob like motion_num_filters —
+    they shrink the minimum input size from 256² to 2^downs squared)."""
+    return tuple(([1, 2, 4] + [8] * max(0, downs - 3))[:downs])
+
+
 class SPADEUnet4MaskMotion(nn.Module):
-    """architectures.py:602-743. channels_in = 6 ([img, mask, hint])."""
+    """architectures.py:602-743. channels_in = 6 ([img, mask, hint]).
+
+    Written as a depth-parametrized loop whose module names at downs=8
+    reproduce the reference state_dict keys exactly (conv1..conv8,
+    dconv1..dconv8, spade_layer2_0/4_0/8_0..8_7/4_1/2_1/spade_layer) —
+    pinned by the weight-transfer parity test through the checkpoint
+    importer (tests/test_motion.py)."""
 
     opt: Options
     num_filters: int = 32
     channels_out: int = 2
+    downs: int = 8
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -107,58 +122,54 @@ class SPADEUnet4MaskMotion(nn.Module):
 
         sp = _sp(self.opt)
         nf = self.num_filters
+        d = self.downs
+        mults = _enc_mults(d)
         lrelu = lambda t: jax.nn.leaky_relu(t, 0.2)
 
         def conv(f, k, s, p, name):
             return Conv(f, k, s, p, spectral=sp, name=name)
 
-        segmap = x
-        e1 = conv(nf, 4, 2, 1, "conv1")(x, train)
-        e2 = SPADE(nf * 2, name="spade_layer2_0")(
-            conv(nf * 2, 4, 2, 1, "conv2")(lrelu(e1), train), segmap, train)
-        e3 = SPADE(nf * 4, name="spade_layer4_0")(
-            conv(nf * 4, 4, 2, 1, "conv3")(lrelu(e2), train), segmap, train)
-        e4 = SPADE(nf * 8, name="spade_layer8_0")(
-            conv(nf * 8, 4, 2, 1, "conv4")(lrelu(e3), train), segmap, train)
-        e5 = SPADE(nf * 8, name="spade_layer8_1")(
-            conv(nf * 8, 4, 2, 1, "conv5")(lrelu(e4), train), segmap, train)
-        e6 = SPADE(nf * 8, name="spade_layer8_2")(
-            conv(nf * 8, 4, 2, 1, "conv6")(lrelu(e5), train), segmap, train)
-        e7 = SPADE(nf * 8, name="spade_layer8_3")(
-            conv(nf * 8, 4, 2, 1, "conv7")(lrelu(e6), train), segmap, train)
-        e8 = conv(nf * 8, 4, 2, 1, "conv8")(lrelu(e7), train)
+        # per-multiplier SPADE name counters: encoder first, decoder
+        # continues the count; the single nf-wide decoder SPADE is the
+        # unsuffixed "spade_layer" (reference naming)
+        counts = {}
 
-        e8 = _up_split(jax.nn.relu(e8))
-        d1_ = SPADE(nf * 8, name="spade_layer8_4")(
-            conv(nf * 8, 3, 1, 1, "dconv1")(e8, train), segmap, train)
-        d1 = jax.nn.relu(jnp.concatenate([_up_split(d1_), _up_split(e7)], -1))
-        d2_ = SPADE(nf * 8, name="spade_layer8_5")(
-            conv(nf * 8, 3, 1, 1, "dconv2")(d1, train), segmap, train)
-        d2 = jax.nn.relu(jnp.concatenate([_up_split(d2_), _up_split(e6)], -1))
-        d3_ = SPADE(nf * 8, name="spade_layer8_6")(
-            conv(nf * 8, 3, 1, 1, "dconv3")(d2, train), segmap, train)
-        d3 = jax.nn.relu(jnp.concatenate([_up_split(d3_), _up_split(e5)], -1))
-        d4_ = SPADE(nf * 8, name="spade_layer8_7")(
-            conv(nf * 8, 3, 1, 1, "dconv4")(d3, train), segmap, train)
-        d4 = jax.nn.relu(jnp.concatenate([_up_split(d4_), _up_split(e4)], -1))
-        d5_ = SPADE(nf * 4, name="spade_layer4_1")(
-            conv(nf * 4, 3, 1, 1, "dconv5")(d4, train), segmap, train)
-        d5 = jax.nn.relu(jnp.concatenate([_up_split(d5_), _up_split(e3)], -1))
-        d6_ = SPADE(nf * 2, name="spade_layer2_1")(
-            conv(nf * 2, 3, 1, 1, "dconv6")(d5, train), segmap, train)
-        d6 = jax.nn.relu(jnp.concatenate([_up_split(d6_), _up_split(e2)], -1))
-        d7_ = SPADE(nf, name="spade_layer")(
-            conv(nf, 3, 1, 1, "dconv7")(d6, train), segmap, train)
-        d7 = jax.nn.relu(jnp.concatenate([_up_split(d7_), _up_split(e1)], -1))
-        return conv(self.channels_out, 3, 1, 1, "dconv8")(d7, train)
+        def spade(mult, feat, segm):
+            i = counts.get(mult, 0)
+            counts[mult] = i + 1
+            name = "spade_layer" if mult == 1 else f"spade_layer{mult}_{i}"
+            return SPADE(nf * mult, name=name)(feat, segm, train)
+
+        segmap = x
+        enc = []
+        h = x
+        for i in range(1, d + 1):
+            h = conv(nf * mults[i - 1], 4, 2, 1, f"conv{i}")(
+                h if i == 1 else lrelu(h), train)
+            if 1 < i < d:
+                h = spade(mults[i - 1], h, segmap)
+            enc.append(h)
+
+        h = _up_split(jax.nn.relu(enc[-1]))
+        for i in range(1, d):
+            mult = mults[d - i - 1]
+            h = spade(mult, conv(nf * mult, 3, 1, 1, f"dconv{i}")(h, train),
+                      segmap)
+            h = jax.nn.relu(
+                jnp.concatenate([_up_split(h), _up_split(enc[d - i - 1])],
+                                -1))
+        return conv(self.channels_out, 3, 1, 1, f"dconv{d}")(h, train)
 
 
 class Unet4Motion(nn.Module):
-    """architectures.py:382-493: plain-norm 8/8 UNet, uniform bilinear up."""
+    """architectures.py:382-493: plain-norm n/n UNet, uniform bilinear up
+    (depth-parametrized like SPADEUnet4MaskMotion; names at downs=8 match
+    the reference state_dict exactly)."""
 
     opt: Options
     num_filters: int = 32
     channels_out: int = 2
+    downs: int = 8
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -166,6 +177,8 @@ class Unet4Motion(nn.Module):
 
         sp = _sp(self.opt)
         nf = self.num_filters
+        d = self.downs
+        mults = _enc_mults(d)
         lrelu = lambda t: jax.nn.leaky_relu(t, 0.2)
         up = upsample_bilinear_2x
 
@@ -173,30 +186,21 @@ class Unet4Motion(nn.Module):
             return Conv(f, k, s, p, spectral=sp, name=name)
 
         norm = instance_norm  # motion_norm_G 'spectral_instance'
-        e1 = conv(nf, 4, 2, 1, "conv1")(x, train)
-        e2 = norm(conv(nf * 2, 4, 2, 1, "conv2")(lrelu(e1), train))
-        e3 = norm(conv(nf * 4, 4, 2, 1, "conv3")(lrelu(e2), train))
-        e4 = norm(conv(nf * 8, 4, 2, 1, "conv4")(lrelu(e3), train))
-        e5 = norm(conv(nf * 8, 4, 2, 1, "conv5")(lrelu(e4), train))
-        e6 = norm(conv(nf * 8, 4, 2, 1, "conv6")(lrelu(e5), train))
-        e7 = norm(conv(nf * 8, 4, 2, 1, "conv7")(lrelu(e6), train))
-        e8 = conv(nf * 8, 4, 2, 1, "conv8")(lrelu(e7), train)
+        enc = []
+        h = x
+        for i in range(1, d + 1):
+            h = conv(nf * mults[i - 1], 4, 2, 1, f"conv{i}")(
+                h if i == 1 else lrelu(h), train)
+            if 1 < i < d:
+                h = norm(h)
+            enc.append(h)
 
-        d1_ = norm(conv(nf * 8, 3, 1, 1, "dconv1")(up(jax.nn.relu(e8)), train))
-        d1 = jax.nn.relu(jnp.concatenate([d1_, e7], -1))
-        d2_ = norm(conv(nf * 8, 3, 1, 1, "dconv2")(up(d1), train))
-        d2 = jax.nn.relu(jnp.concatenate([d2_, e6], -1))
-        d3_ = norm(conv(nf * 8, 3, 1, 1, "dconv3")(up(d2), train))
-        d3 = jax.nn.relu(jnp.concatenate([d3_, e5], -1))
-        d4_ = norm(conv(nf * 8, 3, 1, 1, "dconv4")(up(d3), train))
-        d4 = jax.nn.relu(jnp.concatenate([d4_, e4], -1))
-        d5_ = norm(conv(nf * 4, 3, 1, 1, "dconv5")(up(d4), train))
-        d5 = jax.nn.relu(jnp.concatenate([d5_, e3], -1))
-        d6_ = norm(conv(nf * 2, 3, 1, 1, "dconv6")(up(d5), train))
-        d6 = jax.nn.relu(jnp.concatenate([d6_, e2], -1))
-        d7_ = norm(conv(nf, 3, 1, 1, "dconv7")(up(d6), train))
-        d7 = jax.nn.relu(jnp.concatenate([d7_, e1], -1))
-        return conv(self.channels_out, 3, 1, 1, "dconv8")(up(d7), train)
+        h = jax.nn.relu(enc[-1])
+        for i in range(1, d):
+            mult = mults[d - i - 1]
+            h = norm(conv(nf * mult, 3, 1, 1, f"dconv{i}")(up(h), train))
+            h = jax.nn.relu(jnp.concatenate([h, enc[d - i - 1]], -1))
+        return conv(self.channels_out, 3, 1, 1, f"dconv{d}")(up(h), train)
 
 
 def moving_region_mask(motion: Array) -> Array:
@@ -223,11 +227,13 @@ class MotionRegressor(nn.Module):
 
     def setup(self):
         nf = self.opt.motion_num_filters
+        downs = self.opt.motion_unet_downs
         if "SPADE" in resolved_motion_model_type(self.opt):
             self.motion_predictor = SPADEUnet4MaskMotion(
-                self.opt, num_filters=nf)
+                self.opt, num_filters=nf, downs=downs)
         else:
-            self.motion_predictor = Unet4Motion(self.opt, num_filters=nf)
+            self.motion_predictor = Unet4Motion(self.opt, num_filters=nf,
+                                                downs=downs)
 
     def _assemble(self, image, mask, hint):
         parts = [image]

@@ -65,10 +65,12 @@ def tiny_options(**kw):
         alpha_refine_model_type="resnet_TinyTest_de_resnet_pconv2_nonorm",
         bg_refine_model_type="resnet_TinyTestBG_nonorm",
         ndf=8, num_D=1, n_layers_D=2,
-        # 8-down/8-up motion UNets need >=256-squared input; width 4 keeps
-        # their mechanics-test executions cheap on the 1-CPU suite host
-        # (parity tests use real Options -> reference width 32)
+        # the reference's 8-down/8-up motion UNets need >=256-squared input;
+        # width 4 + depth 4 (min input 16²) keep the mechanics-test graphs
+        # cheap on the 1-CPU suite host (parity tests use real Options ->
+        # reference width 32 / depth 8 at 256²)
         motion_num_filters=4,
+        motion_unet_downs=4,
     )
     base.update(kw)
     return Options(**base)

@@ -25,11 +25,14 @@ def _motion_scene(rng, H=64, W=64):
 
 
 def test_spade_motion_regressor_forward():
-    # the 8-down UNet needs 256^2 input (bottleneck 1x1), like the reference
+    # mechanics (loss wiring + finiteness): depth-4/width-4 UNet at 32².
+    # The reference's depth-8/256² net is pinned full-output by
+    # test_spade_mask_motion_full_parity_vs_reference below.
     rng = np.random.default_rng(0)
-    H = W = 256
+    H = W = 32
     opt = Options(model_type="SPADE_unet_mask_motion", W=H, motionH=H, motionW=W,
-                  motion_losses=("10.0_EndPointError",), div_flow=1.0)
+                  motion_losses=("10.0_EndPointError",), div_flow=1.0,
+                  motion_num_filters=4, motion_unet_downs=4)
     model = MotionRegressor(opt)
     img = jnp.asarray(rng.standard_normal((1, H, W, 3)) * 0.25, jnp.float32)
     motion = jnp.asarray(_motion_scene(rng, H, W))[None]
@@ -50,8 +53,9 @@ def test_spade_motion_regressor_forward():
 
 def test_plain_unet_motion():
     rng = np.random.default_rng(1)
-    H = W = 256
-    opt = Options(model_type="unet_motion", W=H, motionH=H, motionW=W)
+    H = W = 32
+    opt = Options(model_type="unet_motion", W=H, motionH=H, motionW=W,
+                  motion_num_filters=4, motion_unet_downs=4)
     model = MotionRegressor(opt)
     img = jnp.asarray(rng.standard_normal((1, H, W, 3)) * 0.25, jnp.float32)
     mask = jnp.ones((1, H, W, 1), jnp.float32)

@@ -41,9 +41,10 @@ def test_motion_gan_train_step():
     (getIntermFeat=False semantics: GAN_Feat stays 0). This single step also
     stands in for the default-D motion GAN step — the D is config-selected
     and the default multiscale D trains in every baseline/BG trainer test —
-    so only one 256² motion train-step graph is compiled by the suite."""
+    so only one motion train-step graph is compiled by the suite (32² via
+    tiny_options' depth-4 motion UNet; parity tests keep depth 8 / 256²)."""
     rng = np.random.default_rng(1)
-    B, H = 1, 256
+    B, H = 1, 32
     opt = tiny_options(
         W=H, motionH=H, motionW=H, batch_size=B,
         model_type="SPADE_unet_mask_motion",
@@ -90,7 +91,7 @@ def test_fixmotion_finetune_step(vgg_vars32):
 
     rng = np.random.default_rng(2)
     B = 1
-    H = 256  # SPADE UNet needs 256^2
+    H = 32  # tiny_options' depth-4 motion UNet: min input 16²
     opt = tiny_options(
         W=H, motionH=H, motionW=H, batch_size=B,
         train_motion=True, freeze_motion=True,
