@@ -88,14 +88,16 @@ def test_import_checkpoint_baseline(tmp_path):
     model = BaselineModel(opt)
     img = (rng.standard_normal((1, 32, 32, 3)) * 0.25).astype(np.float32)
 
-    fs, z = model.apply(variables, jnp.asarray(img), method="encode")
+    fs, z = jax.jit(lambda v, x: model.apply(v, x, method="encode"))(
+        variables, jnp.asarray(img))
     with torch.no_grad():
         out = enc.gblocks(to_nchw(img))
     np.testing.assert_allclose(np.asarray(fs), to_nhwc(out[:, :-1]),
                                rtol=3e-4, atol=3e-4)
 
     feats = (rng.standard_normal((1, 32, 32, 64)) * 0.3).astype(np.float32)
-    got = model.apply(variables, jnp.asarray(feats), method="decode")
+    got = jax.jit(lambda v, x: model.apply(v, x, method="decode"))(
+        variables, jnp.asarray(feats))
     with torch.no_grad():
         xt = to_nchw(feats)
         h, mk = dec.eblocks[0](xt, (xt != 0).float())
@@ -130,7 +132,8 @@ def test_import_discriminator(tmp_path):
     from slrsfs_tpu.nn.discriminators import MultiscaleDiscriminator
 
     m = MultiscaleDiscriminator(opt)
-    got = m.apply(variables, jnp.asarray(x), False)
+    got = jax.jit(lambda v, t: m.apply(v, t, False))(
+        variables, jnp.asarray(x))
     assert len(got) == 2
     for scale in range(2):
         for layer in range(5):
@@ -149,19 +152,9 @@ def test_opts_namespace_mapping():
     assert opt.losses == ("2.0_l1",)
 
 
-def test_orbax_roundtrip(tmp_path):
-    from slrsfs_tpu.engine.trainer import Trainer
-    from slrsfs_tpu.models.baseline import BaselineTrainable
-    from test_trainer import _tiny_batch
-
-    from conftest import tiny_options
-
-    rng = np.random.default_rng(3)
-    opt = tiny_options(W=32, batch_size=2)
-    model = BaselineTrainable(opt, train_max_steps=4)
-    trainer = Trainer(opt, model, steps_per_epoch=10)
-    batch = _tiny_batch(rng)
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+def test_orbax_roundtrip(tmp_path, base_trainer):
+    opt = base_trainer["opt"]
+    state = base_trainer["state"]
 
     path = str(tmp_path / "ckpt1")
     save_native(path, state, opt, epoch=3, extra={"best_loss": 0.5})
@@ -379,12 +372,12 @@ def test_stage3_merged_init_partial_fallback():
     # block takes the full encoder feature width (9 here), which the arch
     # table understates (layers_dec[0]=8) — regression guard for the
     # first_width import override
-    out = model.apply(variables, jnp.zeros((1, 16, 16, 9), jnp.float32),
-                      method="decode_fluid")
+    out = jax.jit(lambda v, x: model.apply(v, x, method="decode_fluid"))(
+        variables, jnp.zeros((1, 16, 16, 9), jnp.float32))
     assert out.shape == (1, 16, 16, 3)
-    ga = model.apply(variables, jnp.zeros((1, 16, 16, 9), jnp.float32),
-                     jnp.zeros((1, 16, 16, 1), jnp.float32),
-                     method="decode_alpha")
+    ga = jax.jit(lambda v, x, a: model.apply(v, x, a, method="decode_alpha"))(
+        variables, jnp.zeros((1, 16, 16, 9), jnp.float32),
+        jnp.zeros((1, 16, 16, 1), jnp.float32))
     assert ga.shape[-1] == 1
 
     # without a fallback, a partial state_dict must fail loudly

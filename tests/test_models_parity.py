@@ -83,7 +83,8 @@ def test_encoder_with_z_parity():
     want_z = to_nhwc(out[:, -1:])
 
     m = ResNetEncoderWithZ(OPT, in_channels=3)
-    got_fs, got_z = m.apply(tree, x, False, True)
+    import jax as _jax
+    got_fs, got_z = _jax.jit(lambda v, t: m.apply(v, t, False, True))(tree, x)
     np.testing.assert_allclose(np.asarray(got_fs), want_fs, rtol=RTOL, atol=ATOL)
     np.testing.assert_allclose(np.asarray(got_z), want_z, rtol=RTOL, atol=ATOL)
 
@@ -124,7 +125,8 @@ def test_decoder_pconv2_parity():
     assert all("accumulation" in k or ".conv_b." in k for k in r.unused())
 
     m = ResNetDecoderPconv2(OPT)
-    got = m.apply(tree, x, False, True)
+    import jax as _jax
+    got = _jax.jit(lambda v, t: m.apply(v, t, False, True))(tree, x)
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
 
 
@@ -146,6 +148,8 @@ def test_rollout_smoke_and_frame0(real32_env):
     assert np.abs(frames).max() <= 1.0
 
     # frame 0: zero displacement, alpha=1 -> decode(encode(img) features)
-    fs, z = model.apply(variables, jnp.asarray(img), method="encode")
-    want0 = model.apply(variables, fs, method="decode")
+    fs, z = jax.jit(lambda v, t: model.apply(v, t, method="encode"))(
+        variables, jnp.asarray(img))
+    want0 = jax.jit(lambda v, t: model.apply(v, t, method="decode"))(
+        variables, fs)
     np.testing.assert_allclose(frames[0], np.asarray(want0[0]), rtol=1e-4, atol=1e-4)

@@ -7,6 +7,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from torch_ref import assert_close, install_tv_stub, to_nchw, to_nhwc  # noqa: E402
@@ -45,7 +46,7 @@ def test_global_generator_parity():
     variables = import_global_generator(tm.state_dict(),
                                         n_downsampling=2, n_blocks=2)
     m = GlobalGenerator(out_channels=3, ngf=8, n_downsampling=2, n_blocks=2)
-    got = m.apply(variables, jnp.asarray(x))
+    got = jax.jit(m.apply)(variables, jnp.asarray(x))
     assert_close(got, want, rel=2e-4)
 
 
@@ -69,7 +70,7 @@ def test_local_enhancer_parity():
                                       n_blocks_global=2, n_blocks_local=2)
     m = LocalEnhancer(out_channels=3, ngf=8, n_downsample_global=2,
                       n_blocks_global=2, n_blocks_local=2)
-    got = m.apply(variables, jnp.asarray(x))
+    got = jax.jit(m.apply)(variables, jnp.asarray(x))
     assert_close(got, want, rel=2e-4)
 
 
@@ -87,7 +88,7 @@ def test_origin_discriminator_parity():
     variables = import_origin_discriminator(tm.state_dict(), num_D=2,
                                             n_layers=3)
     m = OriginMultiscaleDiscriminator(ndf=8, n_layers=3, num_D=2)
-    got = m.apply(variables, jnp.asarray(x))
+    got = jax.jit(m.apply)(variables, jnp.asarray(x))
     assert len(got) == 2 and all(len(s) == 1 for s in got)
     for scale in range(2):
         assert_close(got[scale][0], to_nhwc(want[scale][0]), rel=2e-4)

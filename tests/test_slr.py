@@ -182,15 +182,13 @@ def test_alpha_input_variants_and_akl():
         "mask_rock": jnp.zeros((B, H, W, 1), jnp.float32),
         "mean_video": jnp.zeros((B, H, W, 3), jnp.float32),
     }
-    variables = jax.jit(
-        lambda r, b: model.init(r, b, True, False,
-                                method=model.forward_train))(
+    # init_with_output: ONE trace yields both the variables and an executed
+    # forward (an init + a separate apply would trace the graph twice)
+    (gen, pred), variables = jax.jit(
+        lambda r, b: model.init_with_output(r, b, True, False,
+                                            method=model.forward_train))(
         {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
         batch)
-    gen, pred = jax.jit(
-        lambda v, b: model.apply(v, b, False, True,
-                                 method=model.forward_train))(
-        variables, batch)
     assert gen.shape == (B, H, W, 3)
     assert pred["AlphaLogSigma"].shape == (B, H, W, 1)
     assert np.abs(np.asarray(pred["AlphaLogSigma"])).max() <= 50.0
@@ -335,18 +333,26 @@ def test_alpha_decoder_input_variants():
                 f"resnet_TinyTest_de_resnet_pconv2_{variant}_nonorm"))
         model = SLRModel(opt)
         img = (rng.standard_normal((1, H, W, 3)) * 0.25).astype(np.float32)
-        variables = jax.jit(lambda r, i: model.init(r, i, False, True))(
-            {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(1)},
-            img)
-        k = variables["params"]["net_alpha_decoder"]
-        assert any(a.shape[-2] == in_ch for a in jax.tree.leaves(k)
-                   if getattr(a, "ndim", 0) == 4), variant
+        rngs = {"params": jax.random.PRNGKey(0),
+                "noise": jax.random.PRNGKey(1)}
         if variant != "image":
-            # channel-plumbing claim only for 'decouple'; executing its
+            # channel-plumbing claim only for 'decouple': shape-level init
+            # under eval_shape (zero FLOPs, no compile); executing its
             # rollout re-traces a whole program for coverage the 'image'
             # run (the wider input assembly) + the default-variant rollout
             # tests already pin (suite wall-clock)
+            shapes = jax.eval_shape(
+                lambda r, i: model.init(r, i, False, True), rngs,
+                jax.ShapeDtypeStruct(img.shape, img.dtype))
+            k = shapes["params"]["net_alpha_decoder"]
+            assert any(a.shape[-2] == in_ch for a in jax.tree.leaves(k)
+                       if getattr(a, "ndim", 0) == 4), variant
             continue
+        variables = jax.jit(lambda r, i: model.init(r, i, False, True))(
+            rngs, img)
+        k = variables["params"]["net_alpha_decoder"]
+        assert any(a.shape[-2] == in_ch for a in jax.tree.leaves(k)
+                   if getattr(a, "ndim", 0) == 4), variant
         flow = (rng.standard_normal((H, W, 2))).astype(np.float32)
         flow[: H // 2] = 0.0
         pos, valid = prepare_scene_sparse(flow, pad_multiple=64)

@@ -13,39 +13,8 @@ from slrsfs_tpu.engine.trainer import Trainer
 from slrsfs_tpu.models.baseline import BaselineTrainable
 
 
-def _tiny_batch(rng, B=2, H=32, W=32):
-    idx = np.zeros((B, 3), np.int32)
-    idx[:, 1] = rng.integers(1, 4, size=B)
-    idx[:, 2] = 4
-    return {
-        "images": [
-            jnp.asarray(rng.standard_normal((B, H, W, 3)) * 0.25, jnp.float32)
-            for _ in range(3)
-        ],
-        "index": jnp.asarray(idx),
-        "motions": jnp.asarray(rng.standard_normal((B, H, W, 2)) * 0.5, jnp.float32),
-    }
-
-
-@pytest.fixture(scope="module")
-def base_trainer(vgg_vars32):
-    """Shared trainer/state/jitted-steps for the mechanics tests: tracing a
-    G+D train-step graph costs ~10 s on this 1-core host, so every test
-    re-building an identical trainer pays it again (VERDICT r2 #9)."""
-    opt = tiny_options(W=32, batch_size=2)
-    model = BaselineTrainable(opt, train_max_steps=4)
-    trainer = Trainer(opt, model, steps_per_epoch=10)
-    trainer.load_vgg(vgg_vars32)
-    batch = _tiny_batch(np.random.default_rng(0))
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
-    return {
-        "opt": opt,
-        "trainer": trainer,
-        "batch": batch,
-        "state": state,
-        "step1": jax.jit(trainer.make_train_step()),
-        "step2": jax.jit(trainer.make_train_step(accum=2)),
-    }
+# shared with test_checkpoint via the session-scoped conftest fixture
+from conftest import tiny_batch as _tiny_batch  # noqa: E402
 
 
 def test_train_step_updates_and_finite(base_trainer):
