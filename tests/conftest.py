@@ -25,6 +25,13 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# The CLI e2e tests call cli.{train,render,render_all}.main() in-process;
+# those entry points call engine.init_utils.enable_persistent_cache(),
+# which would RE-POINT the cache dir to ~/.cache for the rest of the pytest
+# session — every graph first compiled after that test would then miss this
+# warm cache (measured: +3.5 min on a full run whose new graphs landed
+# after test_cli_e2e). The env override pins the CLIs to the same dir.
+os.environ["SLRSFS_JAX_CACHE"] = _CACHE_DIR
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
